@@ -1,0 +1,227 @@
+"""Ported conformance corpus for the URL kernels.
+
+The 10 handle_relative_paths tests (reference src/http.rs:200-292) and the
+is_valid_site / format_url_for_storage behaviors (reference
+src/tools.rs:168-195), expressed against the pandas kernels, plus quirk
+tests Q1/Q2/Q8/Q9 from SURVEY.md §2.9.
+"""
+
+import pandas as pd
+import pytest
+
+from crabspark import urlkit
+
+
+def resolve1(href: str, referrer: str):
+    return urlkit.resolve_links(pd.Series([href]), pd.Series([referrer])).iloc[0]
+
+
+# --- the 10 reference tests, same inputs + expected strings ---
+
+def test_valid_url_passthrough():  # src/http.rs:203-210
+    assert resolve1("http://www.example.com", "http://www.referrer.com") == \
+        "http://www.example.com"
+
+
+def test_anchor_strip():  # src/http.rs:212-219
+    assert resolve1("http://www.example.com#anchor", "http://www.referrer.com") == \
+        "http://www.example.com"
+
+
+def test_root_relative_is_schemeless():  # src/http.rs:221-228 (quirk Q1)
+    assert resolve1("/relative/path", "http://www.example.com") == \
+        "www.example.com/relative/path"
+
+
+def test_protocol_relative():  # src/http.rs:230-237
+    assert resolve1("//www.example.com", "http://www.referrer.com") == \
+        "https://www.example.com"
+
+
+def test_single_dotdot():  # src/http.rs:239-246
+    assert resolve1("../relative/path", "http://www.example.com/folder") == \
+        "http://www.example.com/relative/path"
+
+
+def test_double_dotdot():  # src/http.rs:248-255
+    assert resolve1("../../relative/path", "http://www.example.com/folder/folder2") == \
+        "http://www.example.com/relative/path"
+
+
+def test_dot_slash():  # src/http.rs:257-264
+    assert resolve1("./relative/path", "http://www.example.com/folder") == \
+        "http://www.example.com/folder/relative/path"
+
+
+def test_bare_relative_folder_referrer():  # src/http.rs:266-273
+    assert resolve1("relative/path", "http://www.example.com/folder") == \
+        "http://www.example.com/folder/relative/path"
+
+
+def test_bare_relative_html_referrer():  # src/http.rs:275-282
+    assert resolve1("relative/path", "http://www.example.com/file.html") == \
+        "http://www.example.com/relative/path"
+
+
+def test_invalid_scheme_rejected():  # src/http.rs:284-291
+    assert resolve1("url:invalid", "http://www.referrer.com") is None
+
+
+# --- branch-ladder edge cases beyond the reference's own tests ---
+
+@pytest.mark.parametrize("junk", ["", "/", "#", "?q=x", '\\"', "..//", "   "])
+def test_junk_rejected(junk):  # src/http.rs:98-101
+    assert resolve1(junk, "http://www.referrer.com") is None
+
+
+@pytest.mark.parametrize(
+    "href",
+    [
+        "mailto:a@b.com", "whatsapp://send?x", "fb-messenger://y", "tel:123",
+        "sms:123", "facetime:5", "skype:u", "slack://open", "zoom:us",
+        "itms-apps://x", "market://details?id=1", "javascript:void(0)",
+        "vbscript:msg", "javscript:typo", "data:image/png;base64,AAA",
+    ],
+)
+def test_pseudo_schemes_rejected(href):  # src/http.rs:104-117
+    assert resolve1(href, "http://www.referrer.com") is None
+
+
+def test_clkn_http_unwrap():  # src/http.rs:118-120
+    assert resolve1("clkn/http/www.example.com/p", "http://r.com") == \
+        "http://www.example.com/p"
+
+
+def test_clkn_rel_is_schemeless():  # src/http.rs:121-131 (Q1-like)
+    assert resolve1("clkn/rel/politics/x", "http://www.cnn.com") == \
+        "www.cnn.competitics/x".replace("pet", "pol")  # domain+rest, no slash
+    assert resolve1("clkn/rel/politics/x", "http://www.cnn.com") == \
+        "www.cnn.compolitics/x"
+
+
+def test_dot_dotdot_combined():  # src/http.rs:145-149: './../a' == '../a'
+    assert resolve1("./../a", "http://www.example.com/f1/f2") == \
+        "http://www.example.com/f1/a"
+
+
+def test_dotdot_beyond_root_clamps():  # Path::parent(None) keeps '/' (src/http.rs:155-157)
+    assert resolve1("../../../x", "http://www.example.com/folder") == \
+        "http://www.example.com/x"
+
+
+def test_dotdot_with_query_referrer_quirk():
+    # set_path keeps the query; the remainder is appended AFTER the query
+    # (format!("{}{}", url, rest), src/http.rs:165) — faithful to the bug.
+    assert resolve1("../z", "http://a.com/x/y?q=1") == "http://a.com/x/?q=1z"
+
+
+def test_bare_relative_referrer_with_trailing_slash():
+    assert resolve1("a/b.html", "http://www.example.com/folder/") == \
+        "http://www.example.com/folder/a/b.html"
+
+
+def test_www_prefixed_passthrough_then_dropped():  # Q1: no scheme -> invalid
+    out = resolve1("www.example.com/x", "http://r.com")
+    assert out == "www.example.com/x"
+    parsed = urlkit.parse_serialize(pd.Series([out]))
+    assert parsed["domain"].iloc[0] is None  # Url::parse fails -> dropped
+
+
+def test_anchor_index_from_original_string():
+    # '#' index measured on the ORIGINAL href, sliced on the trimmed one
+    # (src/http.rs:89-93).
+    assert resolve1("  http://a.com/x#frag", "http://r.com") == "http://a.com/x#f".rstrip("#f") or True
+    out = resolve1("  http://a.com/x#frag", "http://r.com")
+    # orig.find('#') == 16; trimmed[:16] == 'http://a.com/x#f'... then the
+    # ladder sees a string still containing '#? no: trimmed='http://a.com/x#frag',
+    # idx=16 -> 'http://a.com/x#f'[:16] => 'http://a.com/x#f'. Faithful quirk.
+    assert out == "http://a.com/x#f"
+
+
+# --- format_url_for_storage (reference src/tools.rs:190-195) ---
+
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        ("https://www.example.com/", "example.com"),
+        ("https://www.example.com", "example.com"),
+        ("http://example.com/a/b/", "example.com/a/b"),
+        ("https://example.com/a?x=1", "example.com/a"),     # Q9: query stripped
+        ("https://example.com/a?x=2", "example.com/a"),     # Q9: same key
+        ("www.example.com/x", "www.example.com/x"),          # no match -> unchanged
+        ("HTTPS://example.com/x", "HTTPS://example.com/x"),  # regex is case-sensitive
+        ("https://example.com////", "example.com"),          # all trailing '/' trimmed
+    ],
+)
+def test_canonicalize(url, expected):
+    assert urlkit.canonicalize(pd.Series([url])).iloc[0] == expected
+
+
+# --- is_valid_site (reference src/tools.rs:168-187) ---
+
+def test_valid_site_default_config():  # src/tools.rs:280-286 (free_crawl default true)
+    parsed = urlkit.parse_serialize(pd.Series(["https://www.cnn.com"]))
+    ok = urlkit.valid_mask(parsed["domain"], ["www.cnn.com"], [], True)
+    assert bool(ok.iloc[0])
+
+
+def test_exact_domain_equality_q8():
+    parsed = urlkit.parse_serialize(pd.Series(["https://cnn.com/x", "https://www.cnn.com/x"]))
+    ok = urlkit.valid_mask(parsed["domain"], ["www.cnn.com"], [], False)
+    assert not bool(ok.iloc[0])  # 'cnn.com' != 'www.cnn.com'
+    assert bool(ok.iloc[1])
+
+
+def test_blacklist_wins():
+    parsed = urlkit.parse_serialize(pd.Series(["https://bad.com/x"]))
+    ok = urlkit.valid_mask(parsed["domain"], [], ["bad.com"], True)
+    assert not bool(ok.iloc[0])
+
+
+def test_no_domain_invalid():
+    parsed = urlkit.parse_serialize(pd.Series(["mailto:a@b.com", "http://1.2.3.4/x"]))
+    ok = urlkit.valid_mask(parsed["domain"], [], [], True)
+    assert not ok.any()
+
+
+# --- Url::parse/to_string normalization ---
+
+@pytest.mark.parametrize(
+    "url,ser,domain",
+    [
+        ("https://www.example.com", "https://www.example.com/", "www.example.com"),
+        ("HTTP://EXAMPLE.com/Path", "http://example.com/Path", "example.com"),
+        ("http://a.com:80/x", "http://a.com/x", "a.com"),
+        ("https://a.com:8443/x", "https://a.com:8443/x", "a.com"),
+        ("http://a.com/x/../y", "http://a.com/y", "a.com"),
+        ("http://a.com/x/./y", "http://a.com/x/y", "a.com"),
+        ("http://u:p@a.com/x", "http://a.com/x", "a.com"),
+        ("www.example.com/x", None, None),  # Q1: scheme-less fails parse
+        ("http:example.com/x", "http://example.com/x", "example.com"),  # WHATWG
+    ],
+)
+def test_parse_serialize(url, ser, domain):
+    got = urlkit.parse_serialize(pd.Series([url]))
+    assert got["ser"].iloc[0] == ser
+    assert got["domain"].iloc[0] == domain
+
+
+def test_sha1_hex():
+    import hashlib
+    got = urlkit.sha1_hex(pd.Series(["example.com/a", None]))
+    assert got.iloc[0] == hashlib.sha1(b"example.com/a").hexdigest()
+    assert got.iloc[1] is None
+
+
+def test_canonicalize_rfc_idempotent():
+    urls = pd.Series([
+        "HTTPS://Example.com:443//a//b/?q=1",
+        "http://a.com/x/",
+        "not a url",
+    ])
+    once = urlkit.canonicalize_rfc(urls)
+    twice = urlkit.canonicalize_rfc(once)
+    assert once.iloc[0] == "https://example.com/a/b?q=1"
+    assert once.iloc[1] == "http://a.com/x"
+    assert once.iloc[2] is None
+    assert list(once.fillna("∅")) == list(twice.fillna("∅"))
