@@ -65,7 +65,9 @@ def _unescape(v: str) -> str:
 def _attr_values(cleaned: pd.Series, pattern: re.Pattern) -> pd.Series:
     """All attribute values per row, document order, entity-decoded."""
     matches = cleaned.str.extractall(pattern)
-    merged = matches[0].fillna(matches[1]).fillna(matches[2])
+    # empty captures come back as NaN from extractall; an empty href is
+    # still an observed link (the reference junk-filters it downstream)
+    merged = matches[0].fillna(matches[1]).fillna(matches[2]).fillna("")
     out = pd.Series([[] for _ in range(len(cleaned))], index=cleaned.index, dtype=object)
     if len(merged):
         grouped = merged.groupby(level=0, sort=False).agg(list)
