@@ -1,0 +1,512 @@
+"""The crawl engine: a Bulk-Synchronous-Parallel frontier loop over Spark.
+
+Each round is the distributed form of one reference recursion layer
+(SURVEY.md §3.4; reference crawl_website_dfs src/crawl.rs:29-120):
+
+  frontier --select_batch--> visit batch (politeness rank + cap trim, F6)
+    -> visited_ops 'visit' rows (MERGE-equivalent upsert log, S6)
+    -> fetch-simulation join against the pages table (J1): the batch side is
+       broadcast INTO the pages scan, so the 100-TB side is streamed, never
+       shuffled; misses are fetch failures (Q4)
+    -> extract_links UDF -> posexplode (E2/E3) -> fused resolve/validate/
+       canonicalize/sha1 UDF (C1/C2/F1-F4)
+    -> first-observer dedup (U1/U2) -> bloom + anti-join seen filter (J2)
+    -> completed filter (J3, observable on resume runs only)
+    -> robots broadcast join + matcher (J4/E4; blocked -> 'block' rows, Q6)
+    -> survivors: imgs recorded (S8), links become next frontier rows with
+       DFS-prefix priorities (§7.4) and edge rows for the completion agg
+    -> seen deltas + bloom update, metrics, atomic round commit.
+
+Scale design notes (10^10 frontier):
+- nothing driver-resident scales with frontier size: the bloom is fixed-size
+  bits, counters are scalars, robots rules are bounded by the round's
+  distinct hosts;
+- per-round writes are O(batch); the frontier overwrite is the only
+  O(frontier) step per round — on a real cluster this becomes a head-band
+  partition rewrite (only the lowest-priority band is re-materialized);
+- work stages repartition by url_sha1 (uniform) so mega-host batches spread
+  over all executors; politeness quota bounds any host's share per round;
+- every count the loop needs is computed in one aggregate job per round.
+
+Resume: the catalog manifest names the last committed round; an interrupted
+round leaves only unreferenced files. ``Engine.open`` reloads the bloom and
+counters from the manifest and continues (Q5 / north-rule checkpoint story).
+A *fresh run over an existing store* (reference process restart: in-memory
+seen set lost, SQLite kept) is ``fresh_seen=True``: the completed filter
+then becomes the observable resume gate, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crabspark import frontier as frontier_mod
+from crabspark import robots as robots_mod
+from crabspark import udfs, urlkit
+from crabspark.config import Config
+from crabspark.seen import Bloom, filter_unseen
+from crabspark.tables import Catalog
+
+FRONTIER_SCHEMA = (
+    "url string, canon string, sha1 string, host string, referrer string, "
+    "priority string, depth int"
+)
+OPS_SCHEMA = "url string, referrer string, round int, seq long, op string"
+EDGES_SCHEMA = "parent string, parent_round int, child string"
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: Config,
+        workdir: str,
+        pages_path: str,
+        robots_path: str | None = None,
+        fresh_seen: bool = False,
+    ):
+        from crabspark.shipping import ship_package
+
+        ship_package(spark)  # the in-process analogue of --py-files
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = Catalog(workdir, spark)
+        self.pages = spark.read.parquet(pages_path)
+        self.robots_df = (
+            spark.read.parquet(robots_path) if robots_path else None
+        )
+        self._extract_links = udfs.extract_links_udf()
+        self._extract_text = udfs.extract_text_udf()
+        self._resolve = udfs.resolve_full_udf(
+            cfg.permitted_domains, cfg.blacklist_domains, cfg.free_crawl
+        )
+        self._image_name = udfs.image_name_udf()
+
+        self.round = self.catalog.committed_round + 1
+        self.total_visited = int(self.catalog.extra("total_visited", 0))
+        bloom_path = self.catalog.extra("bloom")
+        if bloom_path and os.path.exists(bloom_path) and not fresh_seen:
+            self.bloom = Bloom.load(bloom_path, cfg.bloom_capacity, cfg.bloom_fpp)
+        else:
+            self.bloom = Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+        if fresh_seen and self.catalog.committed_round >= 0:
+            # reference process restart: seen set was in-memory and is lost;
+            # visited/is_complete persists and gates re-crawl (Q5).
+            self.catalog.overwrite(
+                "seen", self._empty("url string, sha1 string, round int"),
+                self.round,
+            )
+            self.total_visited = 0
+            self._init_frontier()
+            self.catalog.commit(self.round - 1, {"total_visited": 0})
+
+    # ------------------------------------------------------------------
+    def _empty(self, schema: str) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _init_frontier(self) -> None:
+        rows = []
+        seeds = pd.Series(self.cfg.seeds, dtype=object)
+        parsed = urlkit.parse_serialize(seeds)
+        canon = urlkit.canonicalize(parsed["ser"])
+        sha1 = urlkit.sha1_hex(canon)
+        for i in range(len(seeds)):
+            if parsed["ser"].iloc[i] is None:
+                continue
+            rows.append(
+                (
+                    parsed["ser"].iloc[i], canon.iloc[i], sha1.iloc[i],
+                    parsed["domain"].iloc[i], "STARTING_URL",
+                    frontier_mod.seed_priority(i), 0,
+                )
+            )
+        self.catalog.overwrite(
+            "frontier",
+            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
+            self.round,
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> dict:
+        """Drive rounds until the frontier drains or the visit cap bites."""
+        if not self.catalog.exists("frontier"):
+            self._init_frontier()
+            self.catalog.commit(self.round - 1, {"total_visited": self.total_visited})
+        rounds_done = 0
+        while True:
+            if self.total_visited >= self.cfg.max_urls_to_visit:
+                break
+            if max_rounds is not None and rounds_done >= max_rounds:
+                break
+            progressed = self._round()
+            if not progressed:
+                break
+            rounds_done += 1
+        self.finalize()
+        return {"rounds": rounds_done, "visited": self.total_visited}
+
+    # ------------------------------------------------------------------
+    def _round(self) -> bool:
+        r = self.round
+        t0 = time.monotonic()
+        cfg = self.cfg
+        frontier = self.catalog.read("frontier")
+        if frontier is None:
+            return False
+        remaining = cfg.max_urls_to_visit - self.total_visited
+        # localCheckpoint: materializes the (small) batch and cuts lineage,
+        # so the frontier-minus-batch anti-join below is not a self-join
+        batch = frontier_mod.select_batch(
+            frontier, remaining, cfg.scheduling, cfg.per_host_quota
+        ).localCheckpoint()
+        batch_n = batch.count()
+        if batch_n == 0:
+            return False
+
+        # --- visit rows (upsert log; rank = within-round visit order) ---
+        w_batch = Window.orderBy("priority")
+        visits = (
+            batch.withColumn("seq", F.row_number().over(w_batch).cast("long"))
+            .select(
+                F.col("canon").alias("url"),
+                F.col("referrer"),
+                F.lit(r).alias("round"),
+                "seq",
+                F.lit("visit").alias("op"),
+            )
+        )
+        self.catalog.append("visited_ops", visits, r)
+
+        # --- fetch-simulation: broadcast the batch INTO the pages scan ---
+        hits = (
+            self.pages.select("url", "html")
+            .join(
+                F.broadcast(
+                    batch.select(
+                        F.col("url"), F.col("canon").alias("p_canon"),
+                        F.col("priority").alias("p_priority"),
+                        F.col("depth").alias("p_depth"),
+                    )
+                ),
+                on="url",
+                how="inner",
+            )
+            .cache()
+        )
+        fetched = hits.select(
+            F.col("p_canon").alias("url"),
+            F.col("url").alias("url_ser"),
+            F.lit(r).alias("round"),
+            self._extract_text(F.col("html")).alias("text"),
+            *([F.col("html")] if cfg.collect_html else []),
+        )
+        self.catalog.append("fetched", fetched, r)
+
+        # --- extract -> explode -> fused resolve/validate/canonicalize ---
+        ex = hits.select(
+            "p_canon", F.col("url").alias("p_ser"), "p_priority", "p_depth",
+            self._extract_links(F.col("html")).alias("ex"),
+        )
+        links = ex.select(
+            "p_canon", "p_ser", "p_priority", "p_depth",
+            F.posexplode("ex.link_links").alias("pos", "href"),
+        ).withColumn("kind", F.lit(0))
+        imgs = ex.select(
+            "p_canon", "p_ser", "p_priority", "p_depth",
+            F.posexplode("ex.img_links").alias("pos", "href"),
+        ).withColumn("kind", F.lit(1))
+        cand = links.unionByName(imgs).withColumn(
+            "rf", self._resolve(F.col("href"), F.col("p_ser"))
+        )
+        cand = (
+            cand.filter(F.col("rf.valid"))
+            .select(
+                "p_canon", "p_priority", "p_depth", "pos", "kind",
+                F.col("rf.ser").alias("ser"),
+                F.col("rf.domain").alias("host"),
+                F.col("rf.canon").alias("canon"),
+                F.col("rf.sha1").alias("sha1"),
+            )
+        )
+        # first observer wins across the whole round (U1/U2 dedup; DFS order:
+        # parent priority, links before imgs, document position)
+        cand = frontier_mod.first_occurrence(
+            cand, ["canon"], [F.col("p_priority"), F.col("kind"), F.col("pos")]
+        )
+
+        # --- seen filter: bloom prefilter + exact anti-join (J2) ---
+        seen_df = self.catalog.read("seen")
+        unseen = filter_unseen(
+            cand, seen_df, self.bloom,
+            sha1_col="sha1", cand_key="canon", seen_key="url",
+        )
+
+        # --- completed filter (J3): observable on fresh-seen resume runs ---
+        ops = self.catalog.read("visited_ops")
+        if ops is not None:
+            completed = ops.filter(F.col("op") == "complete").select(
+                F.col("url").alias("c_url"), F.lit(True).alias("is_completed")
+            ).distinct()
+            unseen = (
+                unseen.join(completed, unseen["canon"] == completed["c_url"], "left")
+                .drop("c_url")
+                .fillna({"is_completed": False})
+            )
+        else:
+            unseen = unseen.withColumn("is_completed", F.lit(False))
+
+        # --- robots: distinct hosts -> rules -> broadcast matcher (J4/E4) ---
+        host_rules = self._round_rules(unseen)
+        blocked_fn = udfs.blocked_udf(host_rules, cfg.respect_robots)
+        judged = unseen.withColumn(
+            "blocked",
+            F.when(F.col("is_completed"), F.lit(False)).otherwise(
+                blocked_fn(F.col("ser"), F.col("host"))
+            ),
+        ).cache()
+
+        # --- seen deltas: every observed survivor enters seen (Q6) ---
+        new_seen = judged.select(
+            F.col("canon").alias("url"), F.col("sha1"), F.lit(r).alias("round")
+        )
+        self.catalog.append("seen", new_seen, r)
+
+        # --- blocked rows (S10): visited rows that were never fetched ---
+        blocked = judged.filter(F.col("blocked") & ~F.col("is_completed"))
+        w_block = Window.orderBy("p_priority", "kind", "pos")
+        self.catalog.append(
+            "visited_ops",
+            blocked.select(
+                F.col("canon").alias("url"),
+                F.col("p_canon").alias("referrer"),
+                F.lit(r).alias("round"),
+                (F.lit(batch_n) + F.row_number().over(w_block)).cast("long").alias("seq"),
+                F.lit("block").alias("op"),
+            ),
+            r,
+        )
+
+        allowed = judged.filter(
+            ~F.col("blocked") & ~F.col("is_completed")
+        )
+
+        # --- images metadata (S8): fetch-sim success = present in pages ---
+        if cfg.collect_images:
+            img_rows = allowed.filter(F.col("kind") == 1).select(
+                F.col("p_canon").alias("referrer"),
+                F.col("canon").alias("url"),
+                F.col("ser").alias("url_ser"),
+                self._image_name(F.col("ser")).alias("name"),
+                F.lit(r).alias("round"),
+            )
+            img_hit = (
+                self.pages.select(F.col("url").alias("url_ser"))
+                .join(F.broadcast(img_rows.select("url_ser")), "url_ser", "inner")
+                .withColumn("success", F.lit(True))
+            )
+            img_rows = img_rows.join(img_hit, "url_ser", "left").fillna(
+                {"success": False}
+            )
+            self.catalog.append("images", img_rows, r)
+
+        # --- children: next frontier rows + completion edges (A4) ---
+        children = allowed.filter(F.col("kind") == 0)
+        if cfg.max_depth is not None:
+            children = children.filter(F.col("p_depth") + 1 <= cfg.max_depth)
+        w_rank = Window.partitionBy("p_canon").orderBy("pos")
+        children = children.withColumn(
+            "rank", F.row_number().over(w_rank) - 1
+        ).withColumn(
+            "priority", frontier_mod.child_priority(F.col("p_priority"), F.col("rank"))
+        )
+        new_rows = children.select(
+            F.col("ser").alias("url"), "canon", "sha1", "host",
+            F.col("p_canon").alias("referrer"), "priority",
+            (F.col("p_depth") + 1).alias("depth"),
+        )
+        edges = children.select(
+            F.col("p_canon").alias("parent"),
+            F.lit(r).alias("parent_round"),
+            F.col("canon").alias("child"),
+        )
+        self.catalog.append("edges", edges, r)
+
+        new_frontier = frontier.join(
+            batch.select("canon"), on="canon", how="left_anti"
+        ).unionByName(new_rows)
+        self.catalog.overwrite("frontier", new_frontier, r)
+
+        # --- one aggregate job for all round metrics ---
+        stats = judged.agg(
+            F.count("*").alias("cand_n"),
+            F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
+            F.sum(F.col("is_completed").cast("int")).alias("completed_dropped_n"),
+            F.sum(((F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("child_n"),
+            F.sum(((F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("img_n"),
+        ).collect()[0]
+        fetched_n = hits.count()
+
+        # --- bloom update from this round's seen delta ---
+        self.bloom.add_dataframe(new_seen, sha1_col="sha1")
+        bloom_path = os.path.join(self.catalog.root, f"bloom-{r:06d}.npy")
+        self.bloom.save(bloom_path)
+
+        self.total_visited += batch_n
+        metrics = self.spark.createDataFrame(
+            [
+                (
+                    r, batch_n, fetched_n, batch_n - fetched_n,
+                    int(stats["cand_n"] or 0), int(stats["blocked_n"] or 0),
+                    int(stats["completed_dropped_n"] or 0),
+                    int(stats["child_n"] or 0), int(stats["img_n"] or 0),
+                    self.total_visited, float(time.monotonic() - t0),
+                )
+            ],
+            "round int, batch_n long, fetched_n long, failed_n long, cand_n long, "
+            "blocked_n long, completed_dropped_n long, child_n long, img_n long, "
+            "total_visited long, wall_s double",
+        )
+        self.catalog.append("metrics", metrics, r)
+        self.catalog.commit(
+            r, {"total_visited": self.total_visited, "bloom": bloom_path}
+        )
+        # keep merge-on-read cost flat: fold long delta chains periodically
+        # (the Iceberg rewrite_data_files analogue)
+        for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
+            if self.catalog.delta_count(t) > 16:
+                self.catalog.compact(t, r)
+        hits.unpersist()
+        judged.unpersist()
+        self.round = r + 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _round_rules(self, cand: DataFrame) -> dict[str, robots_mod.HostRules]:
+        if self.robots_df is None or not self.cfg.respect_robots:
+            return {}
+        hosts = cand.select(F.col("host")).distinct()
+        rows = (
+            self.robots_df.join(F.broadcast(hosts), on="host", how="inner")
+            .collect()
+        )
+        return robots_mod.build_host_rules(
+            {row["host"]: row["robots_txt"] for row in rows}, self.cfg.user_agents
+        )
+
+    # ------------------------------------------------------------------
+    def finalize(self) -> None:
+        """Completion propagation (A4, quirks Q4/Q5/Q10): iterative
+        bad-call fixpoint over the per-visit edge tree, bounded by crawl
+        depth. All joins are O(visited), never O(frontier)."""
+        ops = self.catalog.read("visited_ops")
+        if ops is None:
+            return
+        visits = ops.filter(F.col("op") == "visit").select("url", "round").distinct().cache()
+        fetched = self.catalog.read("fetched")
+        fetched_visits = (
+            fetched.select("url", "round").distinct().cache()
+            if fetched is not None
+            else self._empty("url string, round int")
+        )
+        edges_df = self.catalog.read("edges")
+        if edges_df is None:
+            edges_df = self._empty(EDGES_SCHEMA)
+        last_visit = visits.groupBy("url").agg(F.max("round").alias("last_round"))
+        # edges attached to the parent's LAST visit (only the seed can have
+        # more than one; its re-visit has no edges -> vacuous success, Q10)
+        last_edges = (
+            edges_df.join(
+                last_visit,
+                (edges_df["parent"] == last_visit["url"])
+                & (edges_df["parent_round"] == last_visit["last_round"]),
+                "inner",
+            )
+            .select("parent", "parent_round", "child")
+            .cache()
+        )
+        # bad(0): children never visited (cap-truncated frontier remainder)
+        bad = (
+            edges_df.select(F.col("child").alias("url"))
+            .distinct()
+            .join(visits.select("url").distinct(), "url", "left_anti")
+            .localCheckpoint()
+        )
+        while True:
+            new_bad = (
+                last_edges.join(
+                    bad.withColumnRenamed("url", "child"), "child", "inner"
+                )
+                .select(F.col("parent").alias("url"))
+                .distinct()
+                .join(bad, "url", "left_anti")
+            )
+            if new_bad.isEmpty():
+                break
+            bad = bad.unionByName(new_bad).localCheckpoint()
+        # a visit is complete iff it fetched ok and no edge-child call failed
+        bad_visits = (
+            edges_df.join(bad.withColumnRenamed("url", "child"), "child", "inner")
+            .select(
+                F.col("parent").alias("url"),
+                F.col("parent_round").alias("round"),
+            )
+            .distinct()
+        )
+        complete = (
+            visits.join(fetched_visits, ["url", "round"], "left_semi")
+            .join(bad_visits, ["url", "round"], "left_anti")
+            .select("url")
+            .distinct()
+        )
+        marks = complete.select(
+            "url",
+            F.lit(None).cast("string").alias("referrer"),
+            F.lit(self.round).alias("round"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit("complete").alias("op"),
+        )
+        self.catalog.append("visited_ops", marks, self.round)
+        self.catalog.commit(self.round, {"total_visited": self.total_visited})
+        visits.unpersist()
+        last_edges.unpersist()
+
+    # ------------------------------------------------------------------
+    def read_visited(self) -> DataFrame:
+        """Reconstruct the visited table from the op log (merge-on-read:
+        latest visit/block row wins for referrer/is_blocked; is_complete is
+        sticky — exactly SQLite's upsert semantics, src/sqlite.rs:24-59)."""
+        ops = self.catalog.read("visited_ops")
+        rb = ops.filter(F.col("op") != "complete")
+        w = Window.partitionBy("url").orderBy(F.desc("round"), F.desc("seq"))
+        latest = (
+            rb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "url", "referrer",
+                (F.col("op") == "block").alias("is_blocked"),
+                F.col("round").alias("last_visited_round"),
+            )
+        )
+        completed = (
+            ops.filter(F.col("op") == "complete")
+            .select("url")
+            .distinct()
+            .withColumn("is_complete", F.lit(True))
+        )
+        return latest.join(completed, "url", "left").fillna({"is_complete": False})
+
+    def read_seen(self) -> DataFrame:
+        seen = self.catalog.read("seen")
+        if seen is None:
+            return self._empty("url string, sha1 string, round int")
+        return seen.select("url").distinct()
+
+    def visit_log(self) -> DataFrame:
+        """Visit events in order: (url, referrer, round, seq)."""
+        ops = self.catalog.read("visited_ops")
+        return ops.filter(F.col("op") == "visit").orderBy("round", "seq")

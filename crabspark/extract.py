@@ -67,7 +67,12 @@ def _attr_values(cleaned: pd.Series, pattern: re.Pattern) -> pd.Series:
     matches = cleaned.str.extractall(pattern)
     # empty captures come back as NaN from extractall; an empty href is
     # still an observed link (the reference junk-filters it downstream)
-    merged = matches[0].fillna(matches[1]).fillna(matches[2]).fillna("")
+    arr = matches.to_numpy(dtype=object)
+    merged = pd.Series(
+        [next((v for v in row if isinstance(v, str)), "") for row in arr],
+        index=matches.index,
+        dtype=object,
+    )
     out = pd.Series([[] for _ in range(len(cleaned))], index=cleaned.index, dtype=object)
     if len(merged):
         grouped = merged.groupby(level=0, sort=False).agg(list)

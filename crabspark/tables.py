@@ -1,0 +1,132 @@
+"""Checkpointed table layer: versioned parquet deltas + an atomic JSON
+manifest — the sandbox stand-in for Iceberg snapshot tables (SURVEY.md §4.3;
+no Iceberg runtime jar in this environment). The interface is the part that
+matters: per-round atomic commits, merge-on-read reconstruction, crash
+recovery by ignoring uncommitted deltas — exactly the semantics the engine
+would get from Iceberg `MERGE INTO` + snapshots on a real cluster
+(replaces the reference's SQLite upsert log, src/sqlite.rs:24-59).
+
+Scale notes (10^10-URL design):
+- every table write is an *append of a delta* (or an overwrite marker), never
+  a read-modify-write of the full table: per-round write cost is O(batch),
+  not O(history);
+- reconstruction ("merge-on-read") happens lazily in Spark as a union of
+  delta scans; key-latest semantics are one window per read, which Iceberg
+  would replace with positional deletes — the engine compacts when the
+  delta count grows (``compact()``);
+- the manifest is a single tiny JSON (table -> committed delta list),
+  written tmp+rename: a killed job resumes from the last fully-committed
+  round with no partial state visible (Q5 / north-rule checkpoint story).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = os.path.abspath(root)
+        self.spark = spark
+        os.makedirs(self.root, exist_ok=True)
+        self._manifest_path = os.path.join(self.root, "_manifest.json")
+        self.state = self._load()
+        # deltas written this round but not yet committed
+        self._pending: list[tuple[str, dict]] = []
+
+    # --- manifest ---
+    def _load(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}, "committed_round": -1, "extras": {}}
+
+    def _persist(self) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # --- writes (staged until commit) ---
+    def _write_delta(self, name: str, df: DataFrame, mode: str, rnd: int) -> None:
+        tbl = self.state["tables"].setdefault(name, {"deltas": []})
+        seq = len(tbl["deltas"]) + sum(1 for n, _ in self._pending if n == name)
+        rel = f"{name}/delta-{rnd:06d}-{seq:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        self._pending.append((name, {"path": rel, "mode": mode, "round": rnd}))
+
+    def append(self, name: str, df: DataFrame, rnd: int) -> None:
+        self._write_delta(name, df, "append", rnd)
+
+    def overwrite(self, name: str, df: DataFrame, rnd: int) -> None:
+        """Logical overwrite: later reads see only deltas from this one on."""
+        self._write_delta(name, df, "overwrite", rnd)
+
+    def commit(self, rnd: int, extras: dict | None = None) -> None:
+        """Atomically publish every delta staged since the last commit."""
+        for name, delta in self._pending:
+            self.state["tables"].setdefault(name, {"deltas": []})["deltas"].append(delta)
+        self._pending.clear()
+        self.state["committed_round"] = rnd
+        if extras:
+            self.state["extras"].update(extras)
+        self._persist()
+
+    def abort(self) -> None:
+        """Drop staged deltas (their files become unreferenced garbage,
+        exactly like Iceberg orphan files)."""
+        self._pending.clear()
+
+    # --- reads (committed state only) ---
+    def _delta_paths(self, name: str) -> list[str]:
+        tbl = self.state["tables"].get(name)
+        if not tbl or not tbl["deltas"]:
+            return []
+        deltas = tbl["deltas"]
+        start = 0
+        for i, d in enumerate(deltas):
+            if d["mode"] == "overwrite":
+                start = i
+        return [os.path.join(self.root, d["path"]) for d in deltas[start:]]
+
+    def exists(self, name: str) -> bool:
+        return bool(self._delta_paths(name))
+
+    def read(self, name: str) -> DataFrame | None:
+        """Union of committed deltas (one multi-path parquet scan)."""
+        paths = self._delta_paths(name)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def compact(self, name: str, rnd: int) -> None:
+        """Rewrite a table's delta chain as one delta (Iceberg rewrite_data_files
+        analogue). Call when delta count is large; read-optimized afterwards."""
+        df = self.read(name)
+        if df is None:
+            return
+        tbl = self.state["tables"][name]
+        old = list(tbl["deltas"])
+        rel = f"{name}/compact-{rnd:06d}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        tbl["deltas"] = [{"path": rel, "mode": "overwrite", "round": rnd}]
+        self._persist()
+        for d in old:
+            p = os.path.join(self.root, d["path"])
+            if os.path.exists(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def delta_count(self, name: str) -> int:
+        return len(self.state["tables"].get(name, {}).get("deltas", []))
+
+    @property
+    def committed_round(self) -> int:
+        return self.state["committed_round"]
+
+    def extra(self, key: str, default=None):
+        return self.state["extras"].get(key, default)

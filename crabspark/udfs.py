@@ -1,0 +1,84 @@
+"""Pandas-UDF wrappers around the pure kernels — the engine's only Python
+execution surface (north rule: vectorized Arrow UDFs, no per-row Python).
+
+Exactly four UDF families, per SURVEY.md §2.8: link extraction, text
+extraction, the resolve/validate/canonicalize chain (fused into ONE UDF so a
+candidate crosses the Arrow boundary once), and the per-round robots
+matcher (built against that round's broadcast host-rules)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crabspark import extract, robots, urlkit
+
+
+def extract_links_udf():
+    @F.pandas_udf("link_links array<string>, img_links array<string>")
+    def _extract(html: pd.Series) -> pd.DataFrame:
+        return extract.extract_links(html)
+
+    return _extract
+
+
+def extract_text_udf():
+    @F.pandas_udf("string")
+    def _text(html: pd.Series) -> pd.Series:
+        return extract.extract_text(html)
+
+    return _text
+
+
+def resolve_full_udf(permitted: list[str], blacklist: list[str], free_crawl: bool):
+    """href × referrer -> (ser, domain, canon, sha1, valid): the whole
+    per-link pipeline of filter_links (reference src/tools.rs:119-130) in
+    one Arrow crossing."""
+    permitted = list(permitted)
+    blacklist = list(blacklist)
+
+    @F.pandas_udf("ser string, domain string, canon string, sha1 string, valid boolean")
+    def _resolve(href: pd.Series, referrer: pd.Series) -> pd.DataFrame:
+        resolved = urlkit.resolve_links(href, referrer)
+        parsed = urlkit.parse_serialize(resolved)
+        valid = urlkit.valid_mask(parsed["domain"], permitted, blacklist, free_crawl)
+        canon = urlkit.canonicalize(parsed["ser"]).where(valid, None)
+        sha1 = urlkit.sha1_hex(canon)
+        return pd.DataFrame(
+            {
+                "ser": parsed["ser"],
+                "domain": parsed["domain"],
+                "canon": canon,
+                "sha1": sha1,
+                "valid": valid.fillna(False),
+            }
+        )
+
+    return _resolve
+
+
+def blocked_udf(host_rules: dict[str, robots.HostRules], respect_robots: bool):
+    """Per-round robots matcher over the broadcast {host: rules} map
+    (J4/E4; the reference's INMEMORY_CACHE equivalent)."""
+
+    @F.pandas_udf("boolean")
+    def _blocked(ser: pd.Series, host: pd.Series) -> pd.Series:
+        return robots.blocked_mask(ser, host, host_rules, respect_robots)
+
+    return _blocked
+
+
+def image_name_udf():
+    @F.pandas_udf("string")
+    def _name(ser: pd.Series) -> pd.Series:
+        return extract.image_name(ser)
+
+    return _name
+
+
+def canonicalize_udf():
+    @F.pandas_udf("string")
+    def _canon(url: pd.Series) -> pd.Series:
+        return urlkit.canonicalize(url)
+
+    return _canon

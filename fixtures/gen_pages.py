@@ -272,7 +272,13 @@ def generate(n_pages: int = 2000, seed: int = 42) -> dict:
 def write(outdir: str, n_pages: int = 2000, seed: int = 42) -> dict:
     os.makedirs(outdir, exist_ok=True)
     data = generate(n_pages, seed)
-    data["pages"].to_parquet(os.path.join(outdir, "pages.parquet"), index=False)
+    # pandas writes ns timestamps by default; Spark's reader requires us
+    data["pages"].to_parquet(
+        os.path.join(outdir, "pages.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
     data["robots"].to_parquet(os.path.join(outdir, "robots.parquet"), index=False)
     data["seeds"].to_parquet(os.path.join(outdir, "seeds.parquet"), index=False)
     return data

@@ -1,0 +1,167 @@
+"""End-to-end engine-vs-oracle parity on the fixture web.
+
+- dfs-parity mode (batch=1): exact visit ORDER, flags, referrers, seen set,
+  byte-identical extracted text (the BASELINE.json invariants);
+- throughput mode (BSP batches): same visited SET / flags / texts when the
+  cap does not bite (order legitimately differs);
+- kill-and-resume: interrupting after round k and resuming yields the same
+  final tables as the uninterrupted run.
+
+One engine run per mode (module-scoped) — each run is a full multi-round
+Spark crawl, so tests share them.
+"""
+
+import pytest
+
+from crabspark.config import Config
+from crabspark.engine import Engine
+from fixtures import gen_pages
+from tests.oracle import run_oracle
+from tests.sparkutil import get_spark
+
+N_PAGES = 40
+SMALL_CAP = 18
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fixture")
+    gen_pages.write(str(out), n_pages=N_PAGES, seed=42)
+    return str(out)
+
+
+def make_cfg(**over):
+    cfg = Config.new()
+    cfg.free_crawl = True
+    cfg.blacklist_domains = ["evil.com"]
+    cfg.seeds = [gen_pages.SEED_URL]
+    cfg.max_urls_to_visit = 5000
+    cfg.collect_images = True
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def new_engine(spark, fixture_paths, work, cfg):
+    return Engine(
+        spark, cfg, work,
+        pages_path=f"{fixture_paths}/pages.parquet",
+        robots_path=f"{fixture_paths}/robots.parquet",
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_small():
+    data = gen_pages.generate(n_pages=N_PAGES, seed=42)
+    return run_oracle(data["pages"], data["robots"], make_cfg(max_urls_to_visit=SMALL_CAP))
+
+
+@pytest.fixture(scope="module")
+def golden_full():
+    data = gen_pages.generate(n_pages=N_PAGES, seed=42)
+    return run_oracle(data["pages"], data["robots"], make_cfg())
+
+
+@pytest.fixture(scope="module")
+def dfs_engine(spark, fixture_paths, tmp_path_factory):
+    cfg = make_cfg(scheduling="dfs-parity", max_urls_to_visit=SMALL_CAP)
+    eng = new_engine(spark, fixture_paths, str(tmp_path_factory.mktemp("dfs")), cfg)
+    eng.run()
+    return eng
+
+
+@pytest.fixture(scope="module")
+def tp_engine(spark, fixture_paths, tmp_path_factory):
+    cfg = make_cfg(scheduling="throughput", per_host_quota=4)
+    eng = new_engine(spark, fixture_paths, str(tmp_path_factory.mktemp("tp")), cfg)
+    eng.run()
+    return eng
+
+
+# --- dfs-parity: exact order + state ---
+
+def test_dfs_parity_exact_order(dfs_engine, golden_small):
+    log = [
+        (r["url"], r["referrer"])
+        for r in dfs_engine.visit_log().select("url", "referrer").collect()
+    ]
+    assert log == golden_small.visit_order
+
+
+def test_dfs_parity_visited_flags(dfs_engine, golden_small):
+    vis = {r["url"]: r for r in dfs_engine.read_visited().collect()}
+    assert set(vis) == set(golden_small.visited)
+    for url, row in golden_small.visited.items():
+        assert vis[url]["is_blocked"] == row["is_blocked"], url
+        assert vis[url]["is_complete"] == row["is_complete"], url
+        assert vis[url]["referrer"] == row["referrer"], url
+
+
+def test_dfs_parity_seen_set(dfs_engine, golden_small):
+    seen = {r["url"] for r in dfs_engine.read_seen().collect()}
+    assert seen == golden_small.seen
+
+
+def test_dfs_parity_text_byte_identical(dfs_engine, golden_small):
+    fetched = dfs_engine.catalog.read("fetched")
+    texts = {
+        r["url"]: r["text"]
+        for r in fetched.orderBy("round").select("url", "text").collect()
+    }
+    assert texts == golden_small.texts
+
+
+# --- throughput mode: set equality ---
+
+def test_throughput_same_sets(tp_engine, golden_full):
+    vis = {r["url"]: r for r in tp_engine.read_visited().collect()}
+    assert set(vis) == set(golden_full.visited)
+    for url, row in golden_full.visited.items():
+        assert vis[url]["is_blocked"] == row["is_blocked"], url
+        assert vis[url]["is_complete"] == row["is_complete"], url
+    seen = {r["url"] for r in tp_engine.read_seen().collect()}
+    assert seen == golden_full.seen
+    fetched = tp_engine.catalog.read("fetched")
+    texts = {r["url"]: r["text"] for r in fetched.select("url", "text").collect()}
+    assert texts == golden_full.texts
+
+
+def test_images_metadata(tp_engine, golden_full):
+    imgs = tp_engine.catalog.read("images")
+    got = {(r["referrer"], r["url"], r["name"]) for r in imgs.collect()}
+    want = {(ref, url, name) for ref, url, name, _ in golden_full.images}
+    assert got == want
+
+
+def test_metrics_recorded(tp_engine):
+    m = tp_engine.catalog.read("metrics")
+    rows = m.orderBy("round").collect()
+    assert rows
+    assert rows[-1]["total_visited"] == tp_engine.total_visited
+    assert all(r["batch_n"] > 0 for r in rows)
+
+
+# --- kill-and-resume ---
+
+def test_resume_equals_uninterrupted(spark, fixture_paths, tmp_path, tp_engine, golden_full):
+    cfg = make_cfg(scheduling="throughput", per_host_quota=4)
+    work = str(tmp_path / "resume_work")
+    eng1 = new_engine(spark, fixture_paths, work, cfg)
+    eng1.run(max_rounds=2)  # "kill" after 2 committed rounds
+    eng2 = new_engine(spark, fixture_paths, work, cfg)  # new process
+    assert eng2.total_visited == eng1.total_visited
+    eng2.run()
+    vis = {r["url"]: r for r in eng2.read_visited().collect()}
+    assert set(vis) == set(golden_full.visited)
+    seen = {r["url"] for r in eng2.read_seen().collect()}
+    assert seen == golden_full.seen
+    # and identical to the uninterrupted engine's final state
+    vis_uninterrupted = {r["url"]: r for r in tp_engine.read_visited().collect()}
+    assert {u: (r["is_blocked"], r["is_complete"]) for u, r in vis.items()} == {
+        u: (r["is_blocked"], r["is_complete"]) for u, r in vis_uninterrupted.items()
+    }
