@@ -1,0 +1,136 @@
+"""Benchmark harness: headline operator queries + a crawl-round throughput
+measurement. Prints exactly ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "urls_per_sec": <crawl tput>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32),
+     CRABSPARK_BENCH_PAGES (crawl fixture size, default 2000),
+     CRABSPARK_BENCH_SKIP_CRAWL=1 to skip the crawl-round measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from crabspark import queries as Q  # noqa: E402
+
+BENCH_QUERIES = [
+    "canonicalize", "host_counts", "seen_antijoin", "perhost_rank",
+    "visited_upsert", "completion_agg", "first_observer", "robots_join",
+    "dedup_exact", "ngram_jaccard", "minhash_signature", "simhash",
+    "text_quality", "lang_id", "doc_fingerprint",
+    "ann_cosine_topk", "ann_grid_buckets",
+]
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("crabspark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    reg = Q.queries()
+    for name in BENCH_QUERIES:
+        fn = reg[name]
+        df = fn(spark, sf_dir)
+        _force(df)  # warm: plan + code paths + file listing
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
+    """Throughput-mode crawl over the synthetic web; returns
+    (urls_per_sec, crawl_wall_sec). The fixture is generated once and
+    cached under .bench_data/ (gitignored)."""
+    from crabspark.config import Config
+    from crabspark.engine import Engine
+    from fixtures import gen_pages
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    fxdir = os.path.join(repo, ".bench_data", f"fx{n_pages}")
+    if not os.path.exists(os.path.join(fxdir, "pages.parquet")):
+        gen_pages.write(fxdir, n_pages=n_pages, seed=42)
+    cfg = Config.new()
+    cfg.free_crawl = True
+    cfg.seeds = [gen_pages.SEED_URL]
+    cfg.scheduling = "throughput"
+    cfg.per_host_quota = 10_000  # politeness off for raw throughput
+    cfg.max_urls_to_visit = n_pages * 2
+    cfg.respect_robots = True
+    cfg.collect_images = True
+    work = tempfile.mkdtemp(prefix="crabspark-bench-")
+    try:
+        eng = Engine(
+            spark, cfg, work,
+            pages_path=os.path.join(fxdir, "pages.parquet"),
+            robots_path=os.path.join(fxdir, "robots.parquet"),
+        )
+        t0 = time.monotonic()
+        res = eng.run()
+        wall = time.monotonic() - t0
+        return res["visited"] / wall, wall
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("CRABSPARK_BENCH_PAGES", "2000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes = bench_queries(spark, sf_dir)
+    urls_per_sec = 0.0
+    if os.environ.get("CRABSPARK_BENCH_SKIP_CRAWL") != "1":
+        urls_per_sec, crawl_wall = bench_crawl(spark, n_pages)
+        qtimes["crawl_round_loop"] = round(crawl_wall, 3)
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "urls_per_sec": round(urls_per_sec, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,620 @@
+"""Operator library for the driver contract (__spark_entry__.py).
+
+Every SURVEY.md §2 operator family that is SQL-expressible is registered
+here as a (Spark DataFrame builder, DuckDB oracle SQL) pair over the
+driver-provided tables at /root/testdata/sf* (TPC-H-ish star schema +
+events/documents/embeddings). URL-shaped columns are synthesized
+deterministically from key columns so the crawl operators (canonicalize,
+host extract, seen anti-join, per-host politeness rank, cap trim, upsert
+merge-on-read, completion agg) are checked by the DuckDB oracle.
+
+The training-data-pipeline operators (exact/near dedup, MinHash-LSH,
+SimHash, token/quality stats, language ID, fingerprinting, ANN cosine
+top-k, IVF-style grid buckets) run over `documents` / `embeddings`.
+
+Implementation rules:
+- Spark side stays JVM-native (pyspark.sql.functions only — no UDFs) so
+  every query is whole-stage-codegen'd and pushdown-friendly;
+- every computed column is aliased IDENTICALLY in both dialects;
+- floats are rounded to 4 decimals before comparison;
+- deterministic tie-breaks everywhere (the driver hash is order-insensitive
+  but row CONTENT must match exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL-shaped frontier synthesized from customer keys:
+    20 hosts (Zipf-ish via modulo), 1/3 of URLs carry a query string, 1/4
+    a trailing slash — enough shape for C1/F1 semantics."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("key"),
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("c_custkey") % 20).cast("string"),
+            F.lit(".com/cat/"),
+            F.col("c_custkey").cast("string"),
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("?ref=x")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+_URLS_SQL = """
+SELECT c_custkey AS key,
+       'https://www.host' || CAST(c_custkey % 20 AS VARCHAR) || '.com/cat/'
+         || CAST(c_custkey AS VARCHAR)
+         || CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END
+         || CASE WHEN c_custkey % 3 = 0 THEN '?ref=x' ELSE '' END AS url
+FROM customer
+"""
+
+_CANON_SPARK = (
+    r"rtrim('/', regexp_replace(url, '^https?://(www\\.)?([^?]*).*$', '$2'))"
+)
+_CANON_DUCK = (
+    r"rtrim(regexp_replace(url, '^https?://(www\.)?([^?]*).*$', '\2', 's'), '/')"
+)
+_HOST_SPARK = r"regexp_extract(url, '^https?://([^/?#]+)', 1)"
+_HOST_DUCK = r"regexp_extract(url, '^https?://([^/?#]+)', 1)"
+
+_TOK_SPARK = r"filter(split(lower(text), '\\s+'), x -> x <> '')"
+_TOK_DUCK = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator family
+# ---------------------------------------------------------------------------
+
+def q_canonicalize(spark, sf_dir):
+    """C1 format_url_for_storage as a native Spark expression
+    (reference src/tools.rs:190-195) — codegen'd, no UDF."""
+    return _urls(spark, sf_dir).select(
+        "key", "url", F.expr(_CANON_SPARK).alias("canon")
+    )
+
+
+SQL_CANONICALIZE = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT key, url, {_CANON_DUCK} AS canon FROM urls
+"""
+
+
+def q_host_counts(spark, sf_dir):
+    """F1/A5: host extraction + distinct-host aggregation (the robots
+    round-key, reference src/tools.rs:23-24)."""
+    return (
+        _urls(spark, sf_dir)
+        .select(F.expr(_HOST_SPARK).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+SQL_HOST_COUNTS = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT {_HOST_DUCK} AS host, count(*) AS n_urls FROM urls GROUP BY 1
+"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """J2: candidate urls LEFT ANTI JOIN the seen set (canonical keys;
+    reference src/tools.rs:131-134)."""
+    urls = _urls(spark, sf_dir).withColumn("canon", F.expr(_CANON_SPARK))
+    seen = urls.filter(F.col("key") % 3 == 0).select("canon")
+    return urls.join(seen, "canon", "left_anti").select("key", "canon")
+
+
+SQL_SEEN_ANTIJOIN = f"""
+WITH urls AS ({_URLS_SQL}),
+canon AS (SELECT key, {_CANON_DUCK} AS canon FROM urls),
+seen AS (SELECT canon FROM canon WHERE key % 3 = 0)
+SELECT key, canon FROM canon
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.canon = canon.canon)
+"""
+
+
+def q_perhost_rank(spark, sf_dir):
+    """Politeness: per-host window rank, quota 2 per round (SURVEY §2.5;
+    replaces the reference's per-thread sleep, src/crawl.rs:49-51)."""
+    urls = _urls(spark, sf_dir).withColumn("host", F.expr(_HOST_SPARK))
+    w = Window.partitionBy("host").orderBy("key")
+    return (
+        urls.withColumn("hr", F.row_number().over(w))
+        .filter(F.col("hr") <= 2)
+        .select("host", "key", "hr")
+    )
+
+
+SQL_PERHOST_RANK = f"""
+WITH urls AS ({_URLS_SQL}),
+hosted AS (SELECT key, {_HOST_DUCK} AS host FROM urls),
+ranked AS (SELECT host, key,
+                  ROW_NUMBER() OVER (PARTITION BY host ORDER BY key) AS hr
+           FROM hosted)
+SELECT host, key, hr FROM ranked WHERE hr <= 2
+"""
+
+
+def q_cap_trim(spark, sf_dir):
+    """F6: deterministic global cap trim — top-100 by priority (the visit
+    cap, reference src/crawl.rs:30-33)."""
+    urls = _urls(spark, sf_dir)
+    return urls.orderBy("key").limit(100).select("key", "url")
+
+
+SQL_CAP_TRIM = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT key, url FROM urls ORDER BY key LIMIT 100
+"""
+
+
+def q_visited_upsert(spark, sf_dir):
+    """S6 merge-on-read: latest event per user wins (the ON CONFLICT
+    UPDATE upsert, reference src/sqlite.rs:24-31)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+SQL_VISITED_UPSERT = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_completion_agg(spark, sf_dir):
+    """A4: parent complete iff ALL children ok (reference
+    src/crawl.rs:93-119): order complete iff every lineitem has
+    l_linestatus = 'F'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min((F.col("l_linestatus") == "F").cast("int")).alias("is_complete"),
+        F.count("*").alias("n_children"),
+    )
+
+
+SQL_COMPLETION_AGG = """
+SELECT l_orderkey,
+       min(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS is_complete,
+       count(*) AS n_children
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_first_observer(spark, sf_dir):
+    """U1/U2: first-observer-wins dedup (seen-set insert order,
+    reference src/tools.rs:146) — first lineitem per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+SQL_FIRST_OBSERVER = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+
+def q_robots_join(spark, sf_dir):
+    """J4/S3: per-host robots lookup as a BROADCAST left join with empty
+    fallback (reference src/tools.rs:24-37): nation plays the robots dim."""
+    urls = _urls(spark, sf_dir).withColumn("host", F.expr(_HOST_SPARK))
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.concat(F.lit("www.host"), (F.col("n_nationkey") % 20).cast("string"),
+                     F.lit(".com")).alias("host"),
+            F.concat(F.lit("Disallow: /"), F.col("n_name")).alias("robots_txt"),
+        )
+        .groupBy("host")
+        .agg(F.min("robots_txt").alias("robots_txt"))  # deterministic pick
+    )
+    return (
+        urls.join(F.broadcast(n), "host", "left")
+        .select(
+            "key", "host",
+            F.coalesce("robots_txt", F.lit("")).alias("robots_txt"),
+        )
+    )
+
+
+SQL_ROBOTS_JOIN = f"""
+WITH urls AS ({_URLS_SQL}),
+hosted AS (SELECT key, {_HOST_DUCK} AS host FROM urls),
+robots AS (
+  SELECT host, min(robots_txt) AS robots_txt FROM (
+    SELECT 'www.host' || CAST(n_nationkey % 20 AS VARCHAR) || '.com' AS host,
+           'Disallow: /' || n_name AS robots_txt
+    FROM nation) GROUP BY host)
+SELECT key, hosted.host AS host, coalesce(robots.robots_txt, '') AS robots_txt
+FROM hosted LEFT JOIN robots ON hosted.host = robots.host
+"""
+
+
+def q_ua_rotation(spark, sf_dir):
+    """C6: deterministic UA rotation (reference src/http.rs:16-20
+    determinized — thread_rng replaced by key modulo)."""
+    urls = _urls(spark, sf_dir)
+    uas = [f"UA{i}" for i in range(7)]
+    return urls.select(
+        "key",
+        F.element_at(F.array(*[F.lit(u) for u in uas]),
+                     (F.col("key") % 7 + 1).cast("int")).alias("user_agent"),
+    )
+
+
+SQL_UA_ROTATION = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT key, 'UA' || CAST(key % 7 AS VARCHAR) AS user_agent FROM urls
+"""
+
+
+def q_image_name(spark, sf_dir):
+    """C3: image-name extraction — last path segment (reference
+    src/tools.rs:78)."""
+    urls = _urls(spark, sf_dir)
+    return urls.select(
+        "key",
+        F.regexp_extract(
+            F.regexp_replace(F.col("url"), r"[?#].*$", ""), r"([^/]*)$", 1
+        ).alias("name"),
+    )
+
+
+SQL_IMAGE_NAME = f"""
+WITH urls AS ({_URLS_SQL})
+SELECT key, regexp_extract(regexp_replace(url, '[?#].*$', '', 's'),
+                           '([^/]*)$', 1) AS name
+FROM urls
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline family (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text); keeps the min doc_id as the
+    canonical representative."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram (token-set) Jaccard near-dup over blocked candidate pairs
+    (consecutive doc_ids within a source block)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.expr(_TOK_SPARK)).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.toks", "b.toks"))
+            / F.size(F.array_union("a.toks", "b.toks")),
+            4,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct({_TOK_DUCK}) AS toks FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM toks a JOIN toks b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash: 4 hash functions as min(md5(i || '|' || token)) per doc —
+    engine-portable because both sides use md5; the LSH band key is the
+    concatenation of two adjacent minhashes."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOK_SPARK))).alias("tok")
+    )
+    sigs = None
+    for i in range(4):
+        s = d.groupBy("doc_id").agg(
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"mh{i}")
+        )
+        sigs = s if sigs is None else sigs.join(s, "doc_id")
+    return sigs.select(
+        "doc_id",
+        F.concat("mh0", "mh1").alias("band0"),
+        F.concat("mh2", "mh3").alias("band1"),
+    )
+
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_DUCK})) AS tok FROM documents),
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || tok)) AS mh0, min(md5('1|' || tok)) AS mh1,
+         min(md5('2|' || tok)) AS mh2, min(md5('3|' || tok)) AS mh3
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, mh0 || mh1 AS band0, mh2 || mh3 AS band1 FROM sig
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash (8-bit) document fingerprint: per bit, sign-sum over tokens
+    of the bit of md5(token) — portable via hex-digit arithmetic."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_TOK_SPARK))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bits = []
+    for j in range(8):
+        digit = F.substring(F.col("h"), j + 1, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        bits.append(
+            F.sum(F.when(val >= 8, 1).otherwise(-1)).alias(f"s{j}")
+        )
+    agg = d.groupBy("doc_id").agg(*bits)
+    sim = None
+    for j in range(8):
+        term = F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_DUCK})) AS tok FROM documents),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+         {", ".join(
+             "sum(CASE WHEN strpos('0123456789abcdef', substr(h, %d, 1)) - 1 >= 8 "
+             "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j) for j in range(8)
+         )}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(
+           "CASE WHEN s%d > 0 THEN %d ELSE 0 END" % (j, 2 ** j) for j in range(8)
+       )} AS BIGINT) AS simhash
+FROM sums
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, char count, mean token length,
+    stopword ratio — the web-text filter feature set."""
+    stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(F.concat_ws(" ", "toks"), r"\s", ""))
+            / F.size("toks"),
+            4,
+        ).alias("mean_tok_len"),
+        F.round(
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+            / F.size("toks"),
+            4,
+        ).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOK_DUCK} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       round(CAST(length(regexp_replace(array_to_string(toks, ' '), '\\s', '', 'g'))
+             AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+       round(CAST(len(list_filter(toks,
+             x -> list_contains(['the','a','and','of','to','in','is','on'], x)))
+             AS DOUBLE) / len(toks), 4) AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID heuristic: argmax of per-language stopword hits with a
+    deterministic priority tie-break (en > de > fr > unknown)."""
+    markers = {
+        "en": ["the", "and", "of", "is"],
+        "de": ["der", "die", "und", "ist"],
+        "fr": ["le", "la", "et", "est"],
+    }
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    cols = {}
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols[lang] = F.size(F.filter("toks", lambda x: F.array_contains(arr, x)))
+    scored = d.select("doc_id", "lang",
+                      *[c.alias(f"n_{lang}") for lang, c in cols.items()])
+    pred = (
+        F.when((F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr"))
+               & (F.col("n_en") > 0), "en")
+        .when((F.col("n_de") >= F.col("n_fr")) & (F.col("n_de") > 0), "de")
+        .when(F.col("n_fr") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {_TOK_DUCK} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS n_en,
+    len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))) AS n_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))) AS n_fr
+  FROM t)
+SELECT doc_id, lang,
+       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS pred_lang
+FROM scored
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the whitespace-normalized lowercase
+    text (E5-adjacent; the dedup join key for byte-identical bodies)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: similarity of every vector
+    to the vec_id=0 query, JVM-native via zip_with + aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    norm_q = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda acc, x: acc + x * x))
+    sim = F.round(dot / (norm_a * norm_q), 4)
+    return (
+        joined.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qvec,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_sim
+  FROM embeddings e CROSS JOIN q)
+SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_grid_buckets(spark, sf_dir):
+    """IVF-style coarse quantization: grid-bucket vectors on their first two
+    components (the scale path for ANN — search only the query's cell)."""
+    e = _t(spark, sf_dir, "embeddings")
+    b0 = F.floor(F.element_at("embedding", 1) * 4).cast("long")
+    b1 = F.floor(F.element_at("embedding", 2) * 4).cast("long")
+    return (
+        e.select(b0.alias("cell_x"), b1.alias("cell_y"), "vec_id")
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+SQL_ANN_GRID_BUCKETS = """
+SELECT CAST(floor(embedding[1] * 4) AS BIGINT) AS cell_x,
+       CAST(floor(embedding[2] * 4) AS BIGINT) AS cell_y,
+       count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "canonicalize": (q_canonicalize, SQL_CANONICALIZE),
+    "host_counts": (q_host_counts, SQL_HOST_COUNTS),
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    "perhost_rank": (q_perhost_rank, SQL_PERHOST_RANK),
+    "cap_trim": (q_cap_trim, SQL_CAP_TRIM),
+    "visited_upsert": (q_visited_upsert, SQL_VISITED_UPSERT),
+    "completion_agg": (q_completion_agg, SQL_COMPLETION_AGG),
+    "first_observer": (q_first_observer, SQL_FIRST_OBSERVER),
+    "robots_join": (q_robots_join, SQL_ROBOTS_JOIN),
+    "ua_rotation": (q_ua_rotation, SQL_UA_ROTATION),
+    "image_name": (q_image_name, SQL_IMAGE_NAME),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_grid_buckets": (q_ann_grid_buckets, SQL_ANN_GRID_BUCKETS),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql}

@@ -95,18 +95,10 @@ def _page_path(rng: random.Random, host: str, i: int) -> str:
     return f"/sec{sec}/"  # section index (trailing slash)
 
 
-def _resolves_to(href: str, referrer: str, target: str) -> bool:
-    out = urlkit.resolve_links(pd.Series([href]), pd.Series([referrer])).iloc[0]
-    if out is None:
-        return False
-    parsed = urlkit.parse_serialize(pd.Series([out]))
-    return parsed["ser"].iloc[0] == target
-
-
-def _edge_href(rng: random.Random, parent: str, child: str) -> str:
-    """Pick a deterministic href form for a must-survive tree edge; every
-    candidate is validated against the real resolve kernel, with the
-    absolute URL as the always-correct fallback."""
+def _edge_href_candidate(rng: random.Random, parent: str, child: str) -> str:
+    """Pick a deterministic candidate href form for a must-survive tree
+    edge. Candidates are later batch-validated against the real resolve
+    kernel (absolute fallback where a form does not round-trip)."""
     forms = [child]  # absolute
     if child.startswith("https://"):
         forms.append(child[len("https:"):])  # protocol-relative
@@ -123,11 +115,21 @@ def _edge_href(rng: random.Random, parent: str, child: str) -> str:
         parent_dir = p_dir.rstrip("/").rsplit("/", 1)[0] + "/"
         if c_path.startswith(parent_dir) and c_path != parent_dir:
             forms.append("../" + c_path[len(parent_dir):])
-    rng.shuffle(forms)
-    for f in forms:
-        if _resolves_to(f, parent, child):
-            return f
-    return child
+    return forms[rng.randrange(len(forms))]
+
+
+def _validate_edges(hrefs: list[str], parents: list[str],
+                    children: list[str]) -> list[str]:
+    """One batched resolve over all tree edges; any form that does not
+    round-trip to its child falls back to the absolute URL."""
+    out = urlkit.resolve_links(
+        pd.Series(hrefs, dtype=object), pd.Series(parents, dtype=object)
+    )
+    ser = urlkit.parse_serialize(out)["ser"]
+    return [
+        h if s == c else c
+        for h, s, c in zip(hrefs, ser, children)
+    ]
 
 
 def build_graph(n_pages: int = 2000, seed: int = 42) -> dict:
@@ -160,9 +162,14 @@ def build_graph(n_pages: int = 2000, seed: int = 42) -> dict:
 
     # tree edges guarantee reachability of urls[1:n_pages]
     links: dict[str, list[str]] = {u: [] for u in urls}
+    e_hrefs, e_parents, e_children = [], [], []
     for i, child in enumerate(urls[1:n_pages], start=1):
         parent = urls[rng.randrange(i)] if i > 1 else SEED_URL
-        links[parent].append(_edge_href(rng, parent, child))
+        e_hrefs.append(_edge_href_candidate(rng, parent, child))
+        e_parents.append(parent)
+        e_children.append(child)
+    for parent, href in zip(e_parents, _validate_edges(e_hrefs, e_parents, e_children)):
+        links[parent].append(href)
 
     # wire the quirk edges from stable early pages
     anchor = urls[min(3, len(urls) - 1)]
