@@ -80,8 +80,7 @@ class Engine:
         self.robots_df = (
             spark.read.parquet(robots_path) if robots_path else None
         )
-        self._extract_links = udfs.extract_links_udf()
-        self._extract_text = udfs.extract_text_udf()
+        self._extract_page = udfs.extract_page_udf()
         self._resolve = udfs.resolve_full_udf(
             cfg.permitted_domains, cfg.blacklist_domains, cfg.free_crawl
         )
@@ -168,7 +167,8 @@ class Engine:
         if batch_n == 0:
             return False
 
-        # --- visit rows (upsert log; rank = within-round visit order) ---
+        # --- visit rows (upsert log; rank = within-round visit order);
+        # written together with this round's block rows in one delta ---
         w_batch = Window.orderBy("priority")
         visits = (
             batch.withColumn("seq", F.row_number().over(w_batch).cast("long"))
@@ -180,9 +180,11 @@ class Engine:
                 F.lit("visit").alias("op"),
             )
         )
-        self.catalog.append("visited_ops", visits, r)
 
-        # --- fetch-simulation: broadcast the batch INTO the pages scan ---
+        # --- fetch-simulation: broadcast the batch INTO the pages scan, so
+        # the (100-TB-design) pages side streams through a broadcast hash
+        # join with no shuffle; the fused page UDF then moves each html
+        # binary across Arrow exactly once, and only text/links survive ---
         hits = (
             self.pages.select("url", "html")
             .join(
@@ -196,33 +198,45 @@ class Engine:
                 on="url",
                 how="inner",
             )
+            .select(
+                F.col("p_canon"), F.col("url").alias("p_ser"),
+                "p_priority", "p_depth",
+                self._extract_page(F.col("html")).alias("pg"),
+                *([F.col("html")] if cfg.collect_html else []),
+            )
             .cache()
         )
         fetched = hits.select(
             F.col("p_canon").alias("url"),
-            F.col("url").alias("url_ser"),
+            F.col("p_ser").alias("url_ser"),
             F.lit(r).alias("round"),
-            self._extract_text(F.col("html")).alias("text"),
+            F.col("pg.text").alias("text"),
             *([F.col("html")] if cfg.collect_html else []),
         )
         self.catalog.append("fetched", fetched, r)
 
-        # --- extract -> explode -> fused resolve/validate/canonicalize ---
-        ex = hits.select(
-            "p_canon", F.col("url").alias("p_ser"), "p_priority", "p_depth",
-            self._extract_links(F.col("html")).alias("ex"),
+        # --- single explode over (kind, pos, href) structs, then the fused
+        # resolve/validate/canonicalize UDF (one Arrow crossing per link) ---
+        link_structs = F.transform(
+            "pg.link_links",
+            lambda x, i: F.struct(
+                F.lit(0).alias("kind"), i.alias("pos"), x.alias("href")
+            ),
         )
-        links = ex.select(
-            "p_canon", "p_ser", "p_priority", "p_depth",
-            F.posexplode("ex.link_links").alias("pos", "href"),
-        ).withColumn("kind", F.lit(0))
-        imgs = ex.select(
-            "p_canon", "p_ser", "p_priority", "p_depth",
-            F.posexplode("ex.img_links").alias("pos", "href"),
-        ).withColumn("kind", F.lit(1))
-        cand = links.unionByName(imgs).withColumn(
-            "rf", self._resolve(F.col("href"), F.col("p_ser"))
+        img_structs = F.transform(
+            "pg.img_links",
+            lambda x, i: F.struct(
+                F.lit(1).alias("kind"), i.alias("pos"), x.alias("href")
+            ),
         )
+        cand = hits.select(
+            "p_canon", "p_ser", "p_priority", "p_depth",
+            F.explode(F.concat(link_structs, img_structs)).alias("c"),
+        ).select(
+            "p_canon", "p_ser", "p_priority", "p_depth",
+            F.col("c.kind").alias("kind"), F.col("c.pos").alias("pos"),
+            F.col("c.href").alias("href"),
+        ).withColumn("rf", self._resolve(F.col("href"), F.col("p_ser")))
         cand = (
             cand.filter(F.col("rf.valid"))
             .select(
@@ -279,17 +293,14 @@ class Engine:
         # --- blocked rows (S10): visited rows that were never fetched ---
         blocked = judged.filter(F.col("blocked") & ~F.col("is_completed"))
         w_block = Window.orderBy("p_priority", "kind", "pos")
-        self.catalog.append(
-            "visited_ops",
-            blocked.select(
-                F.col("canon").alias("url"),
-                F.col("p_canon").alias("referrer"),
-                F.lit(r).alias("round"),
-                (F.lit(batch_n) + F.row_number().over(w_block)).cast("long").alias("seq"),
-                F.lit("block").alias("op"),
-            ),
-            r,
+        block_ops = blocked.select(
+            F.col("canon").alias("url"),
+            F.col("p_canon").alias("referrer"),
+            F.lit(r).alias("round"),
+            (F.lit(batch_n) + F.row_number().over(w_block)).cast("long").alias("seq"),
+            F.lit("block").alias("op"),
         )
+        self.catalog.append("visited_ops", visits.unionByName(block_ops), r)
 
         allowed = judged.filter(
             ~F.col("blocked") & ~F.col("is_completed")

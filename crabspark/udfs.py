@@ -22,6 +22,22 @@ def extract_links_udf():
     return _extract
 
 
+def extract_page_udf():
+    """Fused text + link extraction: the html binary crosses the Arrow
+    boundary exactly once per fetched page (it is by far the widest
+    column; everything downstream carries only strings/arrays)."""
+
+    @F.pandas_udf(
+        "text string, link_links array<string>, img_links array<string>"
+    )
+    def _page(html: pd.Series) -> pd.DataFrame:
+        links = extract.extract_links(html)
+        links.insert(0, "text", extract.extract_text(html))
+        return links
+
+    return _page
+
+
 def extract_text_udf():
     @F.pandas_udf("string")
     def _text(html: pd.Series) -> pd.Series:

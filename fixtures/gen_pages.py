@@ -132,7 +132,13 @@ def _validate_edges(hrefs: list[str], parents: list[str],
     ]
 
 
-def build_graph(n_pages: int = 2000, seed: int = 42) -> dict:
+def build_graph(n_pages: int = 2000, seed: int = 42,
+                branching: int | None = None) -> dict:
+    """branching=None: parents drawn uniformly from all earlier pages
+    (depth ~ ln n — the parity-test shape). branching=B: parents drawn from
+    the first n/B pages only, giving a shallow fan-out tree (depth ~
+    log_B n) — the bench shape, where each BSP round carries a huge batch
+    like a real Common-Crawl frontier."""
     rng = random.Random(seed)
     hosts = _hosts(n_pages)
     hnames = [h for h, _ in hosts]
@@ -164,7 +170,9 @@ def build_graph(n_pages: int = 2000, seed: int = 42) -> dict:
     links: dict[str, list[str]] = {u: [] for u in urls}
     e_hrefs, e_parents, e_children = [], [], []
     for i, child in enumerate(urls[1:n_pages], start=1):
-        parent = urls[rng.randrange(i)] if i > 1 else SEED_URL
+        # branching=B draws parents from the first i/B pages: depth ~ log_B n
+        hi = i if branching is None else max(1, min(i, i // branching + 1))
+        parent = urls[rng.randrange(hi)] if i > 1 else SEED_URL
         e_hrefs.append(_edge_href_candidate(rng, parent, child))
         e_parents.append(parent)
         e_children.append(child)
@@ -222,16 +230,17 @@ def build_graph(n_pages: int = 2000, seed: int = 42) -> dict:
             "n_crawlable": n_pages}
 
 
-def _render_html(url: str, hrefs: list[str], imgs: list[str]) -> bytes:
+def _render_html(url: str, hrefs: list[str], imgs: list[str],
+                 body_scale: int = 1) -> bytes:
     h = _h(url)
     title = f"Page {h % 100000}"
     paras = []
     words = ["alpha", "beta", "gamma", "delta", "web", "crawl", "data",
              "spark", "frontier", "queue", "host", "politeness"]
     r = random.Random(h)
-    for p in range(1 + h % 3):
+    for p in range((1 + h % 3) * body_scale):
         paras.append(
-            "<p>" + " ".join(r.choice(words) for _ in range(8 + h % 9))
+            "<p>" + " ".join(r.choice(words) for _ in range((8 + h % 9) * body_scale))
             + (" &amp; more" if p == 0 else "")
             + "</p>"
         )
@@ -254,12 +263,14 @@ def _render_html(url: str, hrefs: list[str], imgs: list[str]) -> bytes:
     return html.encode("utf-8")
 
 
-def generate(n_pages: int = 2000, seed: int = 42) -> dict:
-    g = build_graph(n_pages, seed)
+def generate(n_pages: int = 2000, seed: int = 42,
+             branching: int | None = None, body_scale: int = 1) -> dict:
+    g = build_graph(n_pages, seed, branching=branching)
     rows = []
     langs = ["en", "en", "en", "en", "de", "fr"]
     for u in g["urls"]:
-        html = _render_html(u, g["links"][u], g["images"][u])
+        html = _render_html(u, g["links"][u], g["images"][u],
+                            body_scale=body_scale)
         rows.append(
             {
                 "url": u,
@@ -276,9 +287,10 @@ def generate(n_pages: int = 2000, seed: int = 42) -> dict:
     return {"pages": pages, "robots": robots_df, "seeds": seeds_df, "graph": g}
 
 
-def write(outdir: str, n_pages: int = 2000, seed: int = 42) -> dict:
+def write(outdir: str, n_pages: int = 2000, seed: int = 42,
+          branching: int | None = None, body_scale: int = 1) -> dict:
     os.makedirs(outdir, exist_ok=True)
-    data = generate(n_pages, seed)
+    data = generate(n_pages, seed, branching=branching, body_scale=body_scale)
     # pandas writes ns timestamps by default; Spark's reader requires us
     data["pages"].to_parquet(
         os.path.join(outdir, "pages.parquet"),
