@@ -584,6 +584,128 @@ FROM embeddings GROUP BY 1, 2
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    are generated ONLY within the coarse grid cell (the scale path — the
+    quadratic pair join is confined to buckets), then exact cosine filters
+    at 0.95."""
+    e = _t(spark, sf_dir, "embeddings")
+    cell = e.select(
+        "vec_id", "embedding",
+        F.floor(F.element_at("embedding", 1) * 4).cast("long").alias("cx"),
+        F.floor(F.element_at("embedding", 2) * 4).cast("long").alias("cy"),
+    )
+    a, b = cell.alias("a"), cell.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cx") == F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def _norm(x):
+        return F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        4,
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        sim.alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.95)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH cell AS (
+  SELECT vec_id, embedding,
+         CAST(floor(embedding[1] * 4) AS BIGINT) AS cx,
+         CAST(floor(embedding[2] * 4) AS BIGINT) AS cy
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+  FROM cell a JOIN cell b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization over the events stream table: 30-minute inactivity
+    gap via lag + windowed cumulative sum (the batch form of
+    session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    gap = F.expr("timestampdiff(SECOND, __lag_ts, ts)")
+    flagged = e.withColumn("__lag_ts", lag_ts).withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Corpus token histogram (explode + hash agg): the wordcount shape a
+    training-data pipeline runs for vocabulary/quality stats; top-100 by
+    count with deterministic tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.expr(_TOK_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_TOK_DUCK}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -609,6 +731,9 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_grid_buckets": (q_ann_grid_buckets, SQL_ANN_GRID_BUCKETS),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
 }
 
 
