@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_exact", "ngram_jaccard", "minhash_signature", "simhash",
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets",
+    "embedding_neardup", "sessionize", "token_histogram",
 ]
 
 
