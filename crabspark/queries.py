@@ -362,12 +362,13 @@ def q_minhash_signature(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.array_distinct(F.expr(_TOK_SPARK))).alias("tok")
     )
-    sigs = None
-    for i in range(4):
-        s = d.groupBy("doc_id").agg(
+    # all 4 minhashes in ONE scan + ONE shuffle (partial agg map-side)
+    sigs = d.groupBy("doc_id").agg(
+        *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"mh{i}")
-        )
-        sigs = s if sigs is None else sigs.join(s, "doc_id")
+            for i in range(4)
+        ]
+    )
     return sigs.select(
         "doc_id",
         F.concat("mh0", "mh1").alias("band0"),
