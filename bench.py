@@ -42,6 +42,7 @@ def get_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
@@ -83,7 +84,7 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
     cfg.free_crawl = True
     cfg.seeds = [gen_pages.SEED_URL]
     cfg.scheduling = "throughput"
-    cfg.per_host_quota = 10_000  # politeness off for raw throughput
+    cfg.per_host_quota = None  # politeness off for raw throughput
     cfg.max_urls_to_visit = n_pages * 2
     cfg.respect_robots = True
     cfg.collect_images = True

@@ -8,7 +8,7 @@ cores), reporting throughput at both plus efficiency
     eff = T(4N) / (4 * T(N))        (T in URLs/sec)
 
 and checking the runs produce IDENTICAL outputs: same visit ordering
-(round, seq, url), same seen set, byte-identical extracted text per url.
+(round, priority, url), same seen set, byte-identical extracted text per url.
 
 Each measurement runs in its own subprocess (one SparkSession per master).
 Results land in BENCH/BASELINE.md.
@@ -52,6 +52,7 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
@@ -64,7 +65,7 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int) -> None:
     cfg.free_crawl = True
     cfg.seeds = [gen_pages.SEED_URL]
     cfg.scheduling = "throughput"
-    cfg.per_host_quota = 10_000_000
+    cfg.per_host_quota = None
     cfg.max_urls_to_visit = cap
     cfg.respect_robots = True
     cfg.collect_images = True
@@ -83,8 +84,10 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int) -> None:
 
         # output-identity digests
         order_md5 = hashlib.md5()
-        for row in eng.visit_log().select("round", "seq", "url").collect():
-            order_md5.update(f"{row['round']}|{row['seq']}|{row['url']}\n".encode())
+        for row in eng.visit_log().select("round", "priority", "url").collect():
+            order_md5.update(
+                f"{row['round']}|{row['priority']}|{row['url']}\n".encode()
+            )
         seen_rows = sorted(r["url"] for r in eng.read_seen().collect())
         seen_md5 = hashlib.md5("\n".join(seen_rows).encode()).hexdigest()
         texts = sorted(
@@ -204,7 +207,7 @@ enforced, politeness quota off for raw throughput).
 **Scaling efficiency T({n2})/(4 x T({n1})) = {rep['scaling_efficiency']}**
 
 Output identity across parallelism levels (north-rule invariants):
-- visit ordering (round, seq, url): {'IDENTICAL' if rep['outputs_identical'] else 'MISMATCH'} (md5 {r1['order_md5'][:12]}…)
+- visit ordering (round, priority, url): {'IDENTICAL' if rep['outputs_identical'] else 'MISMATCH'} (md5 {r1['order_md5'][:12]}…)
 - seen set: md5 {r1['seen_md5'][:12]}… == {r2['seen_md5'][:12]}…
 - extracted text per url: md5 {r1['text_md5'][:12]}… == {r2['text_md5'][:12]}…
 

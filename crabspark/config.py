@@ -94,7 +94,7 @@ class Config:
     seeds: list[str] = field(default_factory=list)  # defaults to [starting_url]
     max_depth: int | None = None  # None = unbounded (cap is the stop condition)
     scheduling: str = "dfs-parity"  # 'dfs-parity' | 'throughput'
-    per_host_quota: int = 1  # max URLs fetched per host per round (politeness)
+    per_host_quota: int | None = 1  # URLs/host/round politeness; None/0 = off
     salt_buckets: int = 8  # salt fan-out for host-skew mitigation
     bloom_capacity: int = 1_000_000  # expected seen-set size per bloom epoch
     bloom_fpp: float = 0.01

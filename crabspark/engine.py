@@ -56,7 +56,7 @@ FRONTIER_SCHEMA = (
     "url string, canon string, sha1 string, host string, referrer string, "
     "priority string, depth int"
 )
-OPS_SCHEMA = "url string, referrer string, round int, seq long, op string"
+OPS_SCHEMA = "url string, referrer string, round int, priority string, op string"
 EDGES_SCHEMA = "parent string, parent_round int, child string"
 
 
@@ -88,6 +88,9 @@ class Engine:
 
         self.round = self.catalog.committed_round + 1
         self.total_visited = int(self.catalog.extra("total_visited", 0))
+        # driver-side frontier-size estimate (None = unknown -> always trim)
+        fs = self.catalog.extra("frontier_size")
+        self.frontier_size = int(fs) if fs is not None else None
         bloom_path = self.catalog.extra("bloom")
         if bloom_path and os.path.exists(bloom_path) and not fresh_seen:
             self.bloom = Bloom.load(bloom_path, cfg.bloom_capacity, cfg.bloom_fpp)
@@ -102,7 +105,10 @@ class Engine:
             )
             self.total_visited = 0
             self._init_frontier()
-            self.catalog.commit(self.round - 1, {"total_visited": 0})
+            self.catalog.commit(
+                self.round - 1,
+                {"total_visited": 0, "frontier_size": self.frontier_size},
+            )
 
     # ------------------------------------------------------------------
     def _empty(self, schema: str) -> DataFrame:
@@ -129,13 +135,18 @@ class Engine:
             self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
             self.round,
         )
+        self.frontier_size = len(rows)
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> dict:
         """Drive rounds until the frontier drains or the visit cap bites."""
         if not self.catalog.exists("frontier"):
             self._init_frontier()
-            self.catalog.commit(self.round - 1, {"total_visited": self.total_visited})
+            self.catalog.commit(
+                self.round - 1,
+                {"total_visited": self.total_visited,
+                 "frontier_size": self.frontier_size},
+            )
         rounds_done = 0
         while True:
             if self.total_visited >= self.cfg.max_urls_to_visit:
@@ -158,27 +169,30 @@ class Engine:
         if frontier is None:
             return False
         remaining = cfg.max_urls_to_visit - self.total_visited
+        # skip the global cap trim (a full frontier sort) whenever the cap
+        # cannot bind this round — the driver tracks the frontier size
+        trim = remaining if (
+            self.frontier_size is None or remaining < self.frontier_size
+        ) else None
         # localCheckpoint: materializes the (small) batch and cuts lineage,
         # so the frontier-minus-batch anti-join below is not a self-join
         batch = frontier_mod.select_batch(
-            frontier, remaining, cfg.scheduling, cfg.per_host_quota
+            frontier, trim, cfg.scheduling, cfg.per_host_quota,
+            cfg.salt_buckets,
         ).localCheckpoint()
         batch_n = batch.count()
         if batch_n == 0:
             return False
 
-        # --- visit rows (upsert log; rank = within-round visit order);
+        # --- visit rows (upsert log): the DFS priority string IS the
+        # within-round order key, so no global row_number sort is needed;
         # written together with this round's block rows in one delta ---
-        w_batch = Window.orderBy("priority")
-        visits = (
-            batch.withColumn("seq", F.row_number().over(w_batch).cast("long"))
-            .select(
-                F.col("canon").alias("url"),
-                F.col("referrer"),
-                F.lit(r).alias("round"),
-                "seq",
-                F.lit("visit").alias("op"),
-            )
+        visits = batch.select(
+            F.col("canon").alias("url"),
+            F.col("referrer"),
+            F.lit(r).alias("round"),
+            F.col("priority"),
+            F.lit("visit").alias("op"),
         )
 
         # --- fetch-simulation: broadcast the batch INTO the pages scan, so
@@ -292,12 +306,16 @@ class Engine:
 
         # --- blocked rows (S10): visited rows that were never fetched ---
         blocked = judged.filter(F.col("blocked") & ~F.col("is_completed"))
-        w_block = Window.orderBy("p_priority", "kind", "pos")
         block_ops = blocked.select(
             F.col("canon").alias("url"),
             F.col("p_canon").alias("referrer"),
             F.lit(r).alias("round"),
-            (F.lit(batch_n) + F.row_number().over(w_block)).cast("long").alias("seq"),
+            # a unique, deterministic order key after every visit priority
+            F.concat(
+                F.col("p_priority"), F.lit("/~b"),
+                F.col("kind").cast("string"), F.lit("-"),
+                F.col("pos").cast("string"),
+            ).alias("priority"),
             F.lit("block").alias("op"),
         )
         self.catalog.append("visited_ops", visits.unionByName(block_ops), r)
@@ -352,15 +370,48 @@ class Engine:
         ).unionByName(new_rows)
         self.catalog.overwrite("frontier", new_frontier, r)
 
-        # --- one aggregate job for all round metrics ---
-        stats = judged.agg(
+        # --- per-partition lineage metrics (north rule), one job each for
+        # the extract stage and the fetch stage; totals derived driver-side ---
+        part_stats = judged.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
             F.count("*").alias("cand_n"),
             F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
             F.sum(F.col("is_completed").cast("int")).alias("completed_dropped_n"),
             F.sum(((F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("child_n"),
             F.sum(((F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("img_n"),
-        ).collect()[0]
-        fetched_n = hits.count()
+        ).collect()
+        fetch_parts = hits.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count("*").alias("fetched_n")).collect()
+
+        def _tot(rows, col):
+            return int(sum(row[col] or 0 for row in rows))
+
+        stats = {
+            c: _tot(part_stats, c)
+            for c in ("cand_n", "blocked_n", "completed_dropped_n",
+                      "child_n", "img_n")
+        }
+        fetched_n = _tot(fetch_parts, "fetched_n")
+        part_rows = [
+            (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
+             int(row["blocked_n"] or 0), int(row["child_n"] or 0))
+            for row in part_stats
+        ] + [
+            (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
+             0, 0)
+            for row in fetch_parts
+        ]
+        self.catalog.append(
+            "metrics_partitions",
+            self.spark.createDataFrame(
+                part_rows,
+                "round int, stage string, partition_id int, rows long, "
+                "blocked long, children long",
+            ),
+            r,
+        )
 
         # --- bloom update from this round's seen delta ---
         self.bloom.add_dataframe(new_seen, sha1_col="sha1")
@@ -368,13 +419,19 @@ class Engine:
         self.bloom.save(bloom_path)
 
         self.total_visited += batch_n
+        if self.frontier_size is not None:
+            # children all enter the frontier; batch rows leave it. Depth-
+            # filtered children make this an overestimate (safe: trims more).
+            self.frontier_size = max(
+                0, self.frontier_size - batch_n + stats["child_n"]
+            )
         metrics = self.spark.createDataFrame(
             [
                 (
                     r, batch_n, fetched_n, batch_n - fetched_n,
-                    int(stats["cand_n"] or 0), int(stats["blocked_n"] or 0),
-                    int(stats["completed_dropped_n"] or 0),
-                    int(stats["child_n"] or 0), int(stats["img_n"] or 0),
+                    stats["cand_n"], stats["blocked_n"],
+                    stats["completed_dropped_n"],
+                    stats["child_n"], stats["img_n"],
                     self.total_visited, float(time.monotonic() - t0),
                 )
             ],
@@ -384,7 +441,12 @@ class Engine:
         )
         self.catalog.append("metrics", metrics, r)
         self.catalog.commit(
-            r, {"total_visited": self.total_visited, "bloom": bloom_path}
+            r,
+            {
+                "total_visited": self.total_visited,
+                "bloom": bloom_path,
+                "frontier_size": self.frontier_size,
+            },
         )
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
@@ -478,7 +540,7 @@ class Engine:
             "url",
             F.lit(None).cast("string").alias("referrer"),
             F.lit(self.round).alias("round"),
-            F.lit(0).cast("long").alias("seq"),
+            F.lit("").alias("priority"),
             F.lit("complete").alias("op"),
         )
         self.catalog.append("visited_ops", marks, self.round)
@@ -493,7 +555,7 @@ class Engine:
         sticky — exactly SQLite's upsert semantics, src/sqlite.rs:24-59)."""
         ops = self.catalog.read("visited_ops")
         rb = ops.filter(F.col("op") != "complete")
-        w = Window.partitionBy("url").orderBy(F.desc("round"), F.desc("seq"))
+        w = Window.partitionBy("url").orderBy(F.desc("round"), F.desc("priority"))
         latest = (
             rb.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -518,6 +580,6 @@ class Engine:
         return seen.select("url").distinct()
 
     def visit_log(self) -> DataFrame:
-        """Visit events in order: (url, referrer, round, seq)."""
+        """Visit events in order: (url, referrer, round, priority)."""
         ops = self.catalog.read("visited_ops")
-        return ops.filter(F.col("op") == "visit").orderBy("round", "seq")
+        return ops.filter(F.col("op") == "visit").orderBy("round", "priority")

@@ -44,22 +44,48 @@ def child_priority(parent_priority, child_rank):
 
 def select_batch(
     frontier: DataFrame,
-    remaining_cap: int,
+    remaining_cap: int | None,
     scheduling: str,
-    per_host_quota: int,
+    per_host_quota: int | None,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Pick this round's visit batch from the frontier.
 
     dfs-parity: the single lexicographically-smallest priority row — exact
-    sequential-reference order. throughput: per-host quota rank (politeness)
-    then global priority trim to the cap."""
+    sequential-reference order.
+
+    throughput: per-host politeness rank (quota URLs per host per round),
+    then a global ascending-priority trim to the remaining visit cap.
+    Both steps are skippable: ``per_host_quota=None`` turns politeness off
+    (batch = whole frontier, zero shuffles), ``remaining_cap=None`` skips
+    the trim (the engine passes None whenever the cap cannot bind this
+    round, avoiding a pointless global sort of the frontier).
+
+    Host skew: with ``salt_buckets > 1`` the rank runs in two phases —
+    top-quota within (host, salt) first, then exact top-quota per host over
+    the <= quota*salt survivors — so a mega-host's frontier rows never
+    funnel through a single window partition (north-rule salting)."""
     if scheduling == "dfs-parity":
-        return frontier.orderBy("priority").limit(min(1, remaining_cap))
-    w_host = Window.partitionBy("host").orderBy("priority")
-    ranked = frontier.withColumn("__hr", F.row_number().over(w_host))
-    quota = ranked.filter(F.col("__hr") <= per_host_quota).drop("__hr")
-    # global deterministic trim (F6): TakeOrdered, no full sort materialized
-    return quota.orderBy("priority").limit(remaining_cap)
+        return frontier.orderBy("priority").limit(1)
+    out = frontier
+    if per_host_quota:
+        if salt_buckets and salt_buckets > 1:
+            salt = F.pmod(F.xxhash64("canon"), F.lit(salt_buckets))
+            w1 = Window.partitionBy("host", salt).orderBy("priority")
+            out = (
+                out.withColumn("__r1", F.row_number().over(w1))
+                .filter(F.col("__r1") <= per_host_quota)
+                .drop("__r1")
+            )
+        w_host = Window.partitionBy("host").orderBy("priority")
+        out = (
+            out.withColumn("__hr", F.row_number().over(w_host))
+            .filter(F.col("__hr") <= per_host_quota)
+            .drop("__hr")
+        )
+    if remaining_cap is not None:
+        out = out.orderBy("priority").limit(remaining_cap)
+    return out
 
 
 def first_occurrence(
