@@ -291,12 +291,15 @@ def write(outdir: str, n_pages: int = 2000, seed: int = 42,
           branching: int | None = None, body_scale: int = 1) -> dict:
     os.makedirs(outdir, exist_ok=True)
     data = generate(n_pages, seed, branching=branching, body_scale=body_scale)
-    # pandas writes ns timestamps by default; Spark's reader requires us
+    # pandas writes ns timestamps by default; Spark's reader requires us.
+    # Small row groups matter: a single giant row group would make the
+    # pages scan one indivisible task regardless of split size.
     data["pages"].to_parquet(
         os.path.join(outdir, "pages.parquet"),
         index=False,
         coerce_timestamps="us",
         allow_truncated_timestamps=True,
+        row_group_size=2048,
     )
     data["robots"].to_parquet(os.path.join(outdir, "robots.parquet"), index=False)
     data["seeds"].to_parquet(os.path.join(outdir, "seeds.parquet"), index=False)
