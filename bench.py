@@ -79,7 +79,8 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
     repo = os.path.dirname(os.path.abspath(__file__))
     fxdir = os.path.join(repo, ".bench_data", f"fx{n_pages}")
     if not os.path.exists(os.path.join(fxdir, "pages.parquet")):
-        gen_pages.write(fxdir, n_pages=n_pages, seed=42)
+        # shallow fan-out: big per-round batches, like a real frontier
+        gen_pages.write(fxdir, n_pages=n_pages, seed=42, branching=16)
     cfg = Config.new()
     cfg.free_crawl = True
     cfg.seeds = [gen_pages.SEED_URL]
@@ -106,7 +107,7 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("CRABSPARK_BENCH_PAGES", "2000"))
+    n_pages = int(os.environ.get("CRABSPARK_BENCH_PAGES", "20000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
     spark = get_spark(cpus)

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -227,7 +228,6 @@ class Engine:
             F.col("pg.text").alias("text"),
             *([F.col("html")] if cfg.collect_html else []),
         )
-        self.catalog.append("fetched", fetched, r)
 
         # --- single explode over (kind, pos, href) structs, then the fused
         # resolve/validate/canonicalize UDF (one Arrow crossing per link) ---
@@ -288,7 +288,11 @@ class Engine:
         else:
             unseen = unseen.withColumn("is_completed", F.lit(False))
 
-        # --- robots: distinct hosts -> rules -> broadcast matcher (J4/E4) ---
+        # --- robots: distinct hosts -> rules -> broadcast matcher (J4/E4).
+        # unseen is cached here: the rules collect doubles as its
+        # materialization (the whole extract/resolve/dedup/bloom pipeline
+        # runs exactly once per round) ---
+        unseen = unseen.cache()
         host_rules = self._round_rules(unseen)
         blocked_fn = udfs.blocked_udf(host_rules, cfg.respect_robots)
         judged = unseen.withColumn(
@@ -298,80 +302,9 @@ class Engine:
             ),
         ).cache()
 
-        # --- seen deltas: every observed survivor enters seen (Q6) ---
-        new_seen = judged.select(
-            F.col("canon").alias("url"), F.col("sha1"), F.lit(r).alias("round")
-        )
-        self.catalog.append("seen", new_seen, r)
-
-        # --- blocked rows (S10): visited rows that were never fetched ---
-        blocked = judged.filter(F.col("blocked") & ~F.col("is_completed"))
-        block_ops = blocked.select(
-            F.col("canon").alias("url"),
-            F.col("p_canon").alias("referrer"),
-            F.lit(r).alias("round"),
-            # a unique, deterministic order key after every visit priority
-            F.concat(
-                F.col("p_priority"), F.lit("/~b"),
-                F.col("kind").cast("string"), F.lit("-"),
-                F.col("pos").cast("string"),
-            ).alias("priority"),
-            F.lit("block").alias("op"),
-        )
-        self.catalog.append("visited_ops", visits.unionByName(block_ops), r)
-
-        allowed = judged.filter(
-            ~F.col("blocked") & ~F.col("is_completed")
-        )
-
-        # --- images metadata (S8): fetch-sim success = present in pages ---
-        if cfg.collect_images:
-            img_rows = allowed.filter(F.col("kind") == 1).select(
-                F.col("p_canon").alias("referrer"),
-                F.col("canon").alias("url"),
-                F.col("ser").alias("url_ser"),
-                self._image_name(F.col("ser")).alias("name"),
-                F.lit(r).alias("round"),
-            )
-            img_hit = (
-                self.pages.select(F.col("url").alias("url_ser"))
-                .join(F.broadcast(img_rows.select("url_ser")), "url_ser", "inner")
-                .withColumn("success", F.lit(True))
-            )
-            img_rows = img_rows.join(img_hit, "url_ser", "left").fillna(
-                {"success": False}
-            )
-            self.catalog.append("images", img_rows, r)
-
-        # --- children: next frontier rows + completion edges (A4) ---
-        children = allowed.filter(F.col("kind") == 0)
-        if cfg.max_depth is not None:
-            children = children.filter(F.col("p_depth") + 1 <= cfg.max_depth)
-        w_rank = Window.partitionBy("p_canon").orderBy("pos")
-        children = children.withColumn(
-            "rank", F.row_number().over(w_rank) - 1
-        ).withColumn(
-            "priority", frontier_mod.child_priority(F.col("p_priority"), F.col("rank"))
-        )
-        new_rows = children.select(
-            F.col("ser").alias("url"), "canon", "sha1", "host",
-            F.col("p_canon").alias("referrer"), "priority",
-            (F.col("p_depth") + 1).alias("depth"),
-        )
-        edges = children.select(
-            F.col("p_canon").alias("parent"),
-            F.lit(r).alias("parent_round"),
-            F.col("canon").alias("child"),
-        )
-        self.catalog.append("edges", edges, r)
-
-        new_frontier = frontier.join(
-            batch.select("canon"), on="canon", how="left_anti"
-        ).unionByName(new_rows)
-        self.catalog.overwrite("frontier", new_frontier, r)
-
-        # --- per-partition lineage metrics (north rule), one job each for
-        # the extract stage and the fetch stage; totals derived driver-side ---
+        # --- per-partition lineage metrics (north rule); these two collects
+        # also materialize the judged/hits caches BEFORE the concurrent
+        # writes below fan out ---
         part_stats = judged.groupBy(
             F.spark_partition_id().alias("partition_id")
         ).agg(
@@ -403,20 +336,104 @@ class Engine:
              0, 0)
             for row in fetch_parts
         ]
-        self.catalog.append(
-            "metrics_partitions",
-            self.spark.createDataFrame(
-                part_rows,
-                "round int, stage string, partition_id int, rows long, "
-                "blocked long, children long",
-            ),
-            r,
+        part_metrics = self.spark.createDataFrame(
+            part_rows,
+            "round int, stage string, partition_id int, rows long, "
+            "blocked long, children long",
         )
 
-        # --- bloom update from this round's seen delta ---
-        self.bloom.add_dataframe(new_seen, sha1_col="sha1")
+        # --- seen deltas: every observed survivor enters seen (Q6) ---
+        new_seen = judged.select(
+            F.col("canon").alias("url"), F.col("sha1"), F.lit(r).alias("round")
+        )
+
+        # --- blocked rows (S10): visited rows that were never fetched ---
+        blocked = judged.filter(F.col("blocked") & ~F.col("is_completed"))
+        block_ops = blocked.select(
+            F.col("canon").alias("url"),
+            F.col("p_canon").alias("referrer"),
+            F.lit(r).alias("round"),
+            # a unique, deterministic order key after every visit priority
+            F.concat(
+                F.col("p_priority"), F.lit("/~b"),
+                F.col("kind").cast("string"), F.lit("-"),
+                F.col("pos").cast("string"),
+            ).alias("priority"),
+            F.lit("block").alias("op"),
+        )
+
+        allowed = judged.filter(~F.col("blocked") & ~F.col("is_completed"))
+
+        # --- images metadata (S8): fetch-sim success = present in pages ---
+        img_rows = None
+        if cfg.collect_images:
+            img_rows = allowed.filter(F.col("kind") == 1).select(
+                F.col("p_canon").alias("referrer"),
+                F.col("canon").alias("url"),
+                F.col("ser").alias("url_ser"),
+                self._image_name(F.col("ser")).alias("name"),
+                F.lit(r).alias("round"),
+            )
+            img_hit = (
+                self.pages.select(F.col("url").alias("url_ser"))
+                .join(F.broadcast(img_rows.select("url_ser")), "url_ser", "inner")
+                .withColumn("success", F.lit(True))
+            )
+            img_rows = img_rows.join(img_hit, "url_ser", "left").fillna(
+                {"success": False}
+            )
+
+        # --- children: next frontier rows + completion edges (A4) ---
+        children = allowed.filter(F.col("kind") == 0)
+        if cfg.max_depth is not None:
+            children = children.filter(F.col("p_depth") + 1 <= cfg.max_depth)
+        w_rank = Window.partitionBy("p_canon").orderBy("pos")
+        children = children.withColumn(
+            "rank", F.row_number().over(w_rank) - 1
+        ).withColumn(
+            "priority", frontier_mod.child_priority(F.col("p_priority"), F.col("rank"))
+        )
+        new_rows = children.select(
+            F.col("ser").alias("url"), "canon", "sha1", "host",
+            F.col("p_canon").alias("referrer"), "priority",
+            (F.col("p_depth") + 1).alias("depth"),
+        )
+        edges = children.select(
+            F.col("p_canon").alias("parent"),
+            F.lit(r).alias("parent_round"),
+            F.col("canon").alias("child"),
+        )
+        new_frontier = frontier.join(
+            batch.select("canon"), on="canon", how="left_anti"
+        ).unionByName(new_rows)
+
+        # --- every remaining per-round output reads only the materialized
+        # caches, so the table writes + bloom update run CONCURRENTLY
+        # (independent Spark jobs share idle task slots; the catalog stages
+        # deltas under a lock and nothing publishes until commit) ---
         bloom_path = os.path.join(self.catalog.root, f"bloom-{r:06d}.npy")
-        self.bloom.save(bloom_path)
+
+        def _bloom_task():
+            self.bloom.add_dataframe(new_seen, sha1_col="sha1")
+            self.bloom.save(bloom_path)
+
+        tasks = [
+            lambda: self.catalog.append("fetched", fetched, r),
+            lambda: self.catalog.append(
+                "visited_ops", visits.unionByName(block_ops), r
+            ),
+            lambda: self.catalog.append("seen", new_seen, r),
+            lambda: self.catalog.append("edges", edges, r),
+            lambda: self.catalog.overwrite("frontier", new_frontier, r),
+            lambda: self.catalog.append("metrics_partitions", part_metrics, r),
+            _bloom_task,
+        ]
+        if img_rows is not None:
+            tasks.append(lambda: self.catalog.append("images", img_rows, r))
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            futures = [pool.submit(t) for t in tasks]
+            for f in futures:
+                f.result()  # re-raise any failure before commit
 
         self.total_visited += batch_n
         if self.frontier_size is not None:
@@ -454,6 +471,7 @@ class Engine:
             if self.catalog.delta_count(t) > 16:
                 self.catalog.compact(t, r)
         hits.unpersist()
+        unseen.unpersist()
         judged.unpersist()
         self.round = r + 1
         return True

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +37,10 @@ class Catalog:
         os.makedirs(self.root, exist_ok=True)
         self._manifest_path = os.path.join(self.root, "_manifest.json")
         self.state = self._load()
-        # deltas written this round but not yet committed
+        # deltas written this round but not yet committed; the engine writes
+        # independent tables concurrently, so staging is lock-guarded
         self._pending: list[tuple[str, dict]] = []
+        self._lock = threading.Lock()
 
     # --- manifest ---
     def _load(self) -> dict:
@@ -54,11 +57,22 @@ class Catalog:
 
     # --- writes (staged until commit) ---
     def _write_delta(self, name: str, df: DataFrame, mode: str, rnd: int) -> None:
-        tbl = self.state["tables"].setdefault(name, {"deltas": []})
-        seq = len(tbl["deltas"]) + sum(1 for n, _ in self._pending if n == name)
-        rel = f"{name}/delta-{rnd:06d}-{seq:06d}"
-        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        self._pending.append((name, {"path": rel, "mode": mode, "round": rnd}))
+        with self._lock:
+            tbl = self.state["tables"].setdefault(name, {"deltas": []})
+            seq = len(tbl["deltas"]) + sum(
+                1 for n, _ in self._pending if n == name
+            )
+            rel = f"{name}/delta-{rnd:06d}-{seq:06d}"
+            # reserve the slot before the (slow) write so concurrent writers
+            # to the same table never collide on a path
+            entry = (name, {"path": rel, "mode": mode, "round": rnd})
+            self._pending.append(entry)
+        try:
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        except Exception:
+            with self._lock:
+                self._pending.remove(entry)
+            raise
 
     def append(self, name: str, df: DataFrame, rnd: int) -> None:
         self._write_delta(name, df, "append", rnd)

@@ -1,0 +1,79 @@
+"""Config-matrix parity (FIXTURES.md §4): allowlist-only vs free_crawl,
+robots on/off — engine vs oracle on the same fixture."""
+
+import pytest
+
+from crabspark.config import Config
+from crabspark.engine import Engine
+from fixtures import gen_pages
+from tests.oracle import run_oracle
+from tests.sparkutil import get_spark
+
+N_PAGES = 30
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fixture_cm")
+    gen_pages.write(str(out), n_pages=N_PAGES, seed=42)
+    return str(out)
+
+
+def cfg_with(**over):
+    cfg = Config.new()
+    cfg.seeds = [gen_pages.SEED_URL]
+    cfg.max_urls_to_visit = 5000
+    cfg.scheduling = "throughput"
+    cfg.per_host_quota = 4
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def compare(spark, fixture_paths, tmp_path, cfg, name):
+    data = gen_pages.generate(n_pages=N_PAGES, seed=42)
+    golden = run_oracle(data["pages"], data["robots"], cfg)
+    eng = Engine(
+        spark, cfg, str(tmp_path / name),
+        pages_path=f"{fixture_paths}/pages.parquet",
+        robots_path=f"{fixture_paths}/robots.parquet",
+    )
+    eng.run()
+    vis = {r["url"]: r for r in eng.read_visited().collect()}
+    assert set(vis) == set(golden.visited)
+    for url, row in golden.visited.items():
+        assert vis[url]["is_blocked"] == row["is_blocked"], url
+        assert vis[url]["is_complete"] == row["is_complete"], url
+    seen = {r["url"] for r in eng.read_seen().collect()}
+    assert seen == golden.seen
+    return golden
+
+
+def test_allowlist_only(spark, fixture_paths, tmp_path):
+    """free_crawl=False: exact-equality domain allowlist (Q8) — only the
+    two mega hosts are crawlable."""
+    cfg = cfg_with(
+        free_crawl=False,
+        permitted_domains=[gen_pages.MEGA1, gen_pages.MEGA2],
+    )
+    golden = compare(spark, fixture_paths, tmp_path, cfg, "allow")
+    hosts = {u.split("/")[0] for u, _ in golden.visit_order}
+    # canonical form strips 'www.' -> mega1.com / mega2.net only
+    assert hosts <= {"mega1.com", "mega2.net"}
+    assert len(golden.visit_order) > 1
+
+
+def test_robots_off(spark, fixture_paths, tmp_path):
+    """respect_robots=False: blocked pages become ordinary visits; no
+    is_blocked rows at all (reference src/tools.rs:140 short-circuit)."""
+    cfg = cfg_with(free_crawl=True, respect_robots=False,
+                   blacklist_domains=["evil.com"])
+    golden = compare(spark, fixture_paths, tmp_path, cfg, "norobots")
+    assert not any(r["is_blocked"] for r in golden.visited.values())
+    visited = {u for u, _ in golden.visit_order}
+    assert "mega1.com/moz-block/secret.html" in visited
