@@ -302,45 +302,10 @@ class Engine:
             ),
         ).cache()
 
-        # --- per-partition lineage metrics (north rule); these two collects
-        # also materialize the judged/hits caches BEFORE the concurrent
-        # writes below fan out ---
-        part_stats = judged.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(
-            F.count("*").alias("cand_n"),
-            F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
-            F.sum(F.col("is_completed").cast("int")).alias("completed_dropped_n"),
-            F.sum(((F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("child_n"),
-            F.sum(((F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("img_n"),
-        ).collect()
-        fetch_parts = hits.groupBy(
-            F.spark_partition_id().alias("partition_id")
-        ).agg(F.count("*").alias("fetched_n")).collect()
-
-        def _tot(rows, col):
-            return int(sum(row[col] or 0 for row in rows))
-
-        stats = {
-            c: _tot(part_stats, c)
-            for c in ("cand_n", "blocked_n", "completed_dropped_n",
-                      "child_n", "img_n")
-        }
-        fetched_n = _tot(fetch_parts, "fetched_n")
-        part_rows = [
-            (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
-             int(row["blocked_n"] or 0), int(row["child_n"] or 0))
-            for row in part_stats
-        ] + [
-            (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
-             0, 0)
-            for row in fetch_parts
-        ]
-        part_metrics = self.spark.createDataFrame(
-            part_rows,
-            "round int, stage string, partition_id int, rows long, "
-            "blocked long, children long",
-        )
+        # materialize the judged cache once (a single cheap count) so every
+        # concurrent consumer below reads the cache instead of racing to
+        # fill it with duplicate UDF work
+        judged.count()
 
         # --- seen deltas: every observed survivor enters seen (Q6) ---
         new_seen = judged.select(
@@ -417,6 +382,23 @@ class Engine:
             self.bloom.add_dataframe(new_seen, sha1_col="sha1")
             self.bloom.save(bloom_path)
 
+        def _stats_task():
+            # per-partition lineage metrics (north rule), extract stage
+            return judged.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(
+                F.count("*").alias("cand_n"),
+                F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
+                F.sum(F.col("is_completed").cast("int")).alias("completed_dropped_n"),
+                F.sum(((F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("child_n"),
+                F.sum(((F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("img_n"),
+            ).collect()
+
+        def _fetch_stats_task():
+            return hits.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            ).agg(F.count("*").alias("fetched_n")).collect()
+
         tasks = [
             lambda: self.catalog.append("fetched", fetched, r),
             lambda: self.catalog.append(
@@ -425,15 +407,46 @@ class Engine:
             lambda: self.catalog.append("seen", new_seen, r),
             lambda: self.catalog.append("edges", edges, r),
             lambda: self.catalog.overwrite("frontier", new_frontier, r),
-            lambda: self.catalog.append("metrics_partitions", part_metrics, r),
             _bloom_task,
         ]
         if img_rows is not None:
             tasks.append(lambda: self.catalog.append("images", img_rows, r))
-        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        with ThreadPoolExecutor(max_workers=len(tasks) + 2) as pool:
+            stats_f = pool.submit(_stats_task)
+            fetch_f = pool.submit(_fetch_stats_task)
             futures = [pool.submit(t) for t in tasks]
             for f in futures:
                 f.result()  # re-raise any failure before commit
+            part_stats = stats_f.result()
+            fetch_parts = fetch_f.result()
+
+        def _tot(rows, col):
+            return int(sum(row[col] or 0 for row in rows))
+
+        stats = {
+            c: _tot(part_stats, c)
+            for c in ("cand_n", "blocked_n", "completed_dropped_n",
+                      "child_n", "img_n")
+        }
+        fetched_n = _tot(fetch_parts, "fetched_n")
+        part_rows = [
+            (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
+             int(row["blocked_n"] or 0), int(row["child_n"] or 0))
+            for row in part_stats
+        ] + [
+            (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
+             0, 0)
+            for row in fetch_parts
+        ]
+        self.catalog.append(
+            "metrics_partitions",
+            self.spark.createDataFrame(
+                part_rows,
+                "round int, stage string, partition_id int, rows long, "
+                "blocked long, children long",
+            ),
+            r,
+        )
 
         self.total_visited += batch_n
         if self.frontier_size is not None:
