@@ -140,7 +140,10 @@ class Engine:
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> dict:
-        """Drive rounds until the frontier drains or the visit cap bites."""
+        """Drive rounds until the frontier drains, the visit cap bites, or
+        the whole-crawl timeout elapses (the reference's watchdog,
+        src/main.rs:82-98 — except we stop cleanly at a round boundary
+        with everything committed, instead of dropping the thread)."""
         if not self.catalog.exists("frontier"):
             self._init_frontier()
             self.catalog.commit(
@@ -148,18 +151,27 @@ class Engine:
                 {"total_visited": self.total_visited,
                  "frontier_size": self.frontier_size},
             )
+        started = time.monotonic()
         rounds_done = 0
+        timed_out = False
         while True:
             if self.total_visited >= self.cfg.max_urls_to_visit:
                 break
             if max_rounds is not None and rounds_done >= max_rounds:
+                break
+            if time.monotonic() - started >= self.cfg.crawler_timeout:
+                timed_out = True
                 break
             progressed = self._round()
             if not progressed:
                 break
             rounds_done += 1
         self.finalize()
-        return {"rounds": rounds_done, "visited": self.total_visited}
+        return {
+            "rounds": rounds_done,
+            "visited": self.total_visited,
+            "timed_out": timed_out,
+        }
 
     # ------------------------------------------------------------------
     def _round(self) -> bool:
