@@ -319,16 +319,22 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """N-gram (token-set) Jaccard near-dup over blocked candidate pairs
-    (consecutive doc_ids within a source block)."""
+    """N-gram (token-set) Jaccard near-dup over blocked candidate pairs.
+    Blocking key = (source, length bucket): near-dups can't differ much in
+    length, so the quadratic pair join stays confined to small blocks —
+    the scale-path shape (MinHash-LSH would replace the block key at
+    larger scale, see q_minhash_signature)."""
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.array_distinct(F.expr(_TOK_SPARK)).alias("toks")
+        "doc_id", "source",
+        F.floor(F.col("n_chars") / 64).alias("lb"),
+        F.array_distinct(F.expr(_TOK_SPARK)).alias("toks"),
     )
     a = d.alias("a")
     b = d.alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lb") == F.col("b.lb"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     return pairs.select(
@@ -344,12 +350,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
-  SELECT doc_id, source, list_distinct({_TOK_DUCK}) AS toks FROM documents)
+  SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
+         list_distinct({_TOK_DUCK}) AS toks FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
 FROM toks a JOIN toks b
-  ON a.source = b.source AND a.doc_id < b.doc_id
+  ON a.source = b.source AND a.lb = b.lb AND a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5
 """
@@ -595,11 +602,13 @@ def q_embedding_neardup(spark, sf_dir):
         "vec_id", "embedding",
         F.floor(F.element_at("embedding", 1) * 4).cast("long").alias("cx"),
         F.floor(F.element_at("embedding", 2) * 4).cast("long").alias("cy"),
+        F.floor(F.element_at("embedding", 3) * 4).cast("long").alias("cz"),
     )
     a, b = cell.alias("a"), cell.alias("b")
     pairs = a.join(
         b,
         (F.col("a.cx") == F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy"))
+        & (F.col("a.cz") == F.col("b.cz"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
 
@@ -627,7 +636,8 @@ SQL_EMBEDDING_NEARDUP = """
 WITH cell AS (
   SELECT vec_id, embedding,
          CAST(floor(embedding[1] * 4) AS BIGINT) AS cx,
-         CAST(floor(embedding[2] * 4) AS BIGINT) AS cy
+         CAST(floor(embedding[2] * 4) AS BIGINT) AS cy,
+         CAST(floor(embedding[3] * 4) AS BIGINT) AS cz
   FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -639,7 +649,7 @@ pairs AS (
               * sqrt(list_sum(list_transform(b.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
   FROM cell a JOIN cell b
-    ON a.cx = b.cx AND a.cy = b.cy AND a.vec_id < b.vec_id)
+    ON a.cx = b.cx AND a.cy = b.cy AND a.cz = b.cz AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
 """
 
