@@ -658,12 +658,15 @@ def q_sessionize(spark, sf_dir):
     """Sessionization over the events stream table: 30-minute inactivity
     gap via lag + windowed cumulative sum (the batch form of
     session_window)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        # integer epoch-us: avoids engine-specific second-truncation
+        # semantics when comparing against the DuckDB oracle
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    gap = F.expr("timestampdiff(SECOND, __lag_ts, ts)")
-    flagged = e.withColumn("__lag_ts", lag_ts).withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     )
     sess = flagged.withColumn(
         "session_id",
@@ -680,8 +683,8 @@ def q_sessionize(spark, sf_dir):
 SQL_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
