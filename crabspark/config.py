@@ -121,6 +121,22 @@ class Config:
         for key, value in raw.items():
             if key not in names:
                 continue  # unknown keys ignored, like serde's Value::get misses
+            # type-mismatched values keep the default, like the reference's
+            # Value::as_* returning None (src/config.rs:76-132)
+            current = getattr(cfg, key)
+            if isinstance(current, bool):
+                if not isinstance(value, bool):
+                    continue
+            elif isinstance(current, int):
+                if not isinstance(value, int) or isinstance(value, bool):
+                    continue
+            elif isinstance(current, str):
+                if not isinstance(value, str):
+                    continue
+            elif isinstance(current, list):
+                if not isinstance(value, list):
+                    continue
+                value = [str(v) if v is not None else "" for v in value]
             setattr(cfg, key, value)
         if "seeds" not in raw and "starting_url" in raw:
             cfg.seeds = [cfg.starting_url]

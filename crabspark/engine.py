@@ -121,9 +121,11 @@ class Engine:
         parsed = urlkit.parse_serialize(seeds)
         canon = urlkit.canonicalize(parsed["ser"])
         sha1 = urlkit.sha1_hex(canon)
+        seen_canons: set[str] = set()
         for i in range(len(seeds)):
-            if parsed["ser"].iloc[i] is None:
+            if parsed["ser"].iloc[i] is None or canon.iloc[i] in seen_canons:
                 continue
+            seen_canons.add(canon.iloc[i])
             rows.append(
                 (
                     parsed["ser"].iloc[i], canon.iloc[i], sha1.iloc[i],
@@ -380,9 +382,16 @@ class Engine:
             F.lit(r).alias("parent_round"),
             F.col("canon").alias("child"),
         )
-        new_frontier = frontier.join(
+        remaining_frontier = frontier.join(
             batch.select("canon"), on="canon", how="left_anti"
-        ).unionByName(new_rows)
+        )
+        # a canon already queued must not be queued twice: only SEEDS can
+        # hit this (every other frontier row is in the seen set, which the
+        # candidates were anti-joined against) — first-queued row wins
+        new_rows = new_rows.join(
+            remaining_frontier.select("canon"), on="canon", how="left_anti"
+        )
+        new_frontier = remaining_frontier.unionByName(new_rows)
 
         # --- every remaining per-round output reads only the materialized
         # caches, so the table writes + bloom update run CONCURRENTLY
@@ -495,6 +504,12 @@ class Engine:
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
             if self.catalog.delta_count(t) > 16:
                 self.catalog.compact(t, r)
+        # disk GC: frontier deltas superseded by this round's overwrite,
+        # and bloom snapshots older than the previous round
+        self.catalog.gc_superseded("frontier")
+        old_bloom = os.path.join(self.catalog.root, f"bloom-{r - 2:06d}.npy")
+        if r >= 2 and os.path.exists(old_bloom):
+            os.remove(old_bloom)
         hits.unpersist()
         unseen.unpersist()
         judged.unpersist()
@@ -597,6 +612,11 @@ class Engine:
         latest visit/block row wins for referrer/is_blocked; is_complete is
         sticky — exactly SQLite's upsert semantics, src/sqlite.rs:24-59)."""
         ops = self.catalog.read("visited_ops")
+        if ops is None:
+            return self._empty(
+                "url string, referrer string, is_blocked boolean, "
+                "last_visited_round int, is_complete boolean"
+            )
         rb = ops.filter(F.col("op") != "complete")
         w = Window.partitionBy("url").orderBy(F.desc("round"), F.desc("priority"))
         latest = (
@@ -625,4 +645,6 @@ class Engine:
     def visit_log(self) -> DataFrame:
         """Visit events in order: (url, referrer, round, priority)."""
         ops = self.catalog.read("visited_ops")
+        if ops is None:
+            return self._empty(OPS_SCHEMA)
         return ops.filter(F.col("op") == "visit").orderBy("round", "priority")

@@ -537,15 +537,27 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("embedding").alias("qvec")
     )
     joined = e.crossJoin(F.broadcast(q))
+    # cast BEFORE multiplying: float32*float32 loses precision the DuckDB
+    # oracle (which multiplies doubles) keeps, flipping rounded boundaries
     dot = F.aggregate(
-        F.zip_with("embedding", "qvec", lambda x, y: x * y),
+        F.zip_with(
+            "embedding", "qvec",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm_a = F.sqrt(
-        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    norm_q = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda acc, x: acc + x * x))
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+
+    norm_a = _norm("embedding")
+    norm_q = _norm("qvec")
     sim = F.round(dot / (norm_a * norm_q), 4)
     return (
         joined.select("vec_id", "label", sim.alias("cos_sim"))
@@ -614,11 +626,18 @@ def q_embedding_neardup(spark, sf_dir):
 
     def _dot(x, y):
         return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
 
     def _norm(x):
-        return F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v * v))
+        return F.sqrt(
+            F.aggregate(
+                x, F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
 
     sim = F.round(
         _dot(F.col("a.embedding"), F.col("b.embedding"))

@@ -96,14 +96,21 @@ class Bloom:
 
     # --- persistence (resume support) ---
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        np.save(tmp + ".npy", self.bits)
-        os.replace(tmp + ".npy", path)
+        """Persist bits WITH their (m, k): the bitmap is only meaningful
+        under the hash geometry it was built with, so resume must restore
+        the saved parameters even if the config's capacity/fpp changed."""
+        tmp = path + f".tmp-{os.getpid()}"
+        np.savez(tmp, bits=self.bits, m=np.int64(self.m), k=np.int64(self.k))
+        os.replace(tmp + ".npz", path)
 
     @classmethod
     def load(cls, path: str, capacity: int, fpp: float) -> "Bloom":
-        bits = np.load(path)
-        return cls(capacity, fpp, bits=bits)
+        with np.load(path) as z:
+            bits = z["bits"]
+            m, k = int(z["m"]), int(z["k"])
+        b = cls(capacity, fpp, bits=bits)
+        b.m, b.k = m, k  # saved geometry wins over the current config
+        return b
 
 
 def filter_unseen(
@@ -137,7 +144,10 @@ def filter_unseen(
         list(candidates.schema.fields)
         + [T.StructField("__bloom_hit", T.BooleanType())]
     )
-    probed = candidates.mapInPandas(probe, schema=schema)
+    # materialize once: both filter branches below consume `probed`, and
+    # without this the whole upstream candidate pipeline (explode, resolve
+    # UDF, dedup window) would execute twice per round
+    probed = candidates.mapInPandas(probe, schema=schema).localCheckpoint()
     definitely_new = probed.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
     maybe_seen = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     survivors = maybe_seen.join(seen_keys, on=cand_key, how="left_anti")

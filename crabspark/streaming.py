@@ -48,7 +48,9 @@ def _canon_udf():
 def start_page_ingest(
     spark: SparkSession,
     pages_dir: str,
-    catalog: Catalog,
+    catalog: Catalog,  # MUST be a dedicated candidates catalog, never the
+    # engine's own workdir catalog: foreachBatch commits per micro-batch,
+    # which would publish the engine's half-staged round deltas
     checkpoint_dir: str,
     pages_schema: str = (
         "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -80,6 +82,8 @@ def start_page_ingest(
             .filter(F.col("url").isNotNull())
         )
         catalog.append("candidates", out, int(batch_id))
+        # committed_round is monotone in the catalog; micro-batch ids can
+        # restart from 0 on checkpoint recovery
         catalog.commit(int(batch_id))
 
     return (

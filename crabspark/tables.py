@@ -82,14 +82,43 @@ class Catalog:
         self._write_delta(name, df, "overwrite", rnd)
 
     def commit(self, rnd: int, extras: dict | None = None) -> None:
-        """Atomically publish every delta staged since the last commit."""
-        for name, delta in self._pending:
-            self.state["tables"].setdefault(name, {"deltas": []})["deltas"].append(delta)
-        self._pending.clear()
-        self.state["committed_round"] = rnd
-        if extras:
-            self.state["extras"].update(extras)
-        self._persist()
+        """Atomically publish every delta staged since the last commit.
+        committed_round is monotone: a concurrent producer (e.g. the
+        streaming ingest) can never regress the engine's round pointer."""
+        with self._lock:
+            for name, delta in self._pending:
+                self.state["tables"].setdefault(name, {"deltas": []})[
+                    "deltas"
+                ].append(delta)
+            self._pending.clear()
+            self.state["committed_round"] = max(
+                rnd, self.state.get("committed_round", -1)
+            )
+            if extras:
+                self.state["extras"].update(extras)
+            self._persist()
+
+    def gc_superseded(self, name: str) -> None:
+        """Physically drop deltas made unreachable by a later overwrite
+        (the frontier writes one per round; without this, disk grows
+        O(rounds x frontier))."""
+        with self._lock:
+            tbl = self.state["tables"].get(name)
+            if not tbl:
+                return
+            deltas = tbl["deltas"]
+            last_ow = 0
+            for i, d in enumerate(deltas):
+                if d["mode"] == "overwrite":
+                    last_ow = i
+            dead, live = deltas[:last_ow], deltas[last_ow:]
+            if not dead:
+                return
+            tbl["deltas"] = live
+            self._persist()
+        for d in dead:
+            p = os.path.join(self.root, d["path"])
+            shutil.rmtree(p, ignore_errors=True)
 
     def abort(self) -> None:
         """Drop staged deltas (their files become unreferenced garbage,

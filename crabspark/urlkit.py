@@ -346,9 +346,13 @@ def parse_serialize(urls: pd.Series) -> pd.DataFrame:
             auth, pth, q = mm.group(1), mm.group(2), mm.group(3)
             if "@" in auth:
                 auth = auth.rsplit("@", 1)[1]
+            if "[" in auth or "]" in auth:
+                continue  # IPv6 literals: out of scope, treat as unparseable
             host, port = auth, None
             if ":" in auth:
                 host, port = auth.rsplit(":", 1)
+                if port and not port.isdigit():
+                    continue  # rust-url: invalid port => parse error
             host = host.lower()
             if not host or " " in host:
                 continue  # Url::parse error (empty host for special scheme)

@@ -166,10 +166,17 @@ def run_oracle(pages_df: pd.DataFrame, robots_df: pd.DataFrame,
     oracle = Oracle(pages, robots_by_host, cfg)
     for seed in cfg.seeds:
         # reference: crawl(seed, "STARTING_URL") (src/crawl.rs:122-124);
-        # the seed URL string is parsed before the first visit (main.rs:71)
+        # the seed URL string is parsed before the first visit (main.rs:71).
+        # Multi-seed is a rebuild-only extension: a later seed already
+        # visited through an earlier seed's tree is not re-visited (the
+        # engine consumes a queued seed row when its canon is first
+        # visited) — the reference has exactly one seed, so no reference
+        # semantics constrain this.
         parsed = urlkit.parse_serialize(pd.Series([seed]))
         seed_ser = parsed["ser"].iloc[0]
         if seed_ser is None:
+            continue
+        if _canon1(seed_ser) in oracle.r.visited:
             continue
         oracle.crawl(seed_ser, "STARTING_URL")
     return oracle.r

@@ -63,3 +63,15 @@ def test_empty_inputs():
     b.add_array(np.array([], dtype=object))
     out = b.might_contain(pd.Series([], dtype=object))
     assert len(out) == 0
+
+
+def test_load_keeps_saved_geometry(tmp_path):
+    # resume with a CHANGED capacity must honor the saved bitmap's (m, k)
+    b = Bloom(capacity=1_000, fpp=0.01)
+    keys = sha1s(800)
+    b.add_array(keys)
+    p = str(tmp_path / "bloom.npy")
+    b.save(p)
+    b2 = Bloom.load(p, capacity=4_000_000, fpp=0.001)  # different config
+    assert (b2.m, b2.k) == (b.m, b.k)
+    assert b2.might_contain(pd.Series(keys)).all()  # no false negatives

@@ -225,3 +225,31 @@ def test_canonicalize_rfc_idempotent():
     assert once.iloc[1] == "http://a.com/x"
     assert once.iloc[2] is None
     assert list(once.fillna("∅")) == list(twice.fillna("∅"))
+
+
+def test_invalid_port_rejected():
+    # rust-url: invalid port => parse error (reference drops the link)
+    got = urlkit.parse_serialize(pd.Series([
+        "http://example.com:80x/page", "http://example.com:8080/ok",
+        "http://[::1]/v6",
+    ]))
+    assert got["ser"].iloc[0] is None
+    assert got["ser"].iloc[1] == "http://example.com:8080/ok"
+    assert got["ser"].iloc[2] is None
+
+
+def test_config_type_mismatch_keeps_default(tmp_path):
+    import json
+    from crabspark.config import Config
+    p = tmp_path / "crab.json"
+    p.write_text(json.dumps({
+        "max_urls_to_visit": "500",   # wrong type -> default kept
+        "free_crawl": "true",         # wrong type -> default kept
+        "starting_url": "https://ok.example.com",
+        "permitted_domains": ["a.com", 2],
+    }))
+    cfg = Config.new(str(p))
+    assert cfg.max_urls_to_visit == 500 and isinstance(cfg.max_urls_to_visit, int)
+    assert cfg.free_crawl is True
+    assert cfg.starting_url == "https://ok.example.com"
+    assert cfg.permitted_domains == ["a.com", "2"]
