@@ -144,10 +144,12 @@ def filter_unseen(
         list(candidates.schema.fields)
         + [T.StructField("__bloom_hit", T.BooleanType())]
     )
-    # materialize once: both filter branches below consume `probed`, and
-    # without this the whole upstream candidate pipeline (explode, resolve
-    # UDF, dedup window) would execute twice per round
-    probed = candidates.mapInPandas(probe, schema=schema).localCheckpoint()
+    # persist once (lazy checkpoint): both filter branches below consume
+    # `probed`, and without this the whole upstream candidate pipeline
+    # (explode, resolve UDF, dedup window) would execute twice per round
+    probed = candidates.mapInPandas(probe, schema=schema).localCheckpoint(
+        eager=False
+    )
     definitely_new = probed.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
     maybe_seen = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     survivors = maybe_seen.join(seen_keys, on=cand_key, how="left_anti")
