@@ -50,4 +50,14 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    # The driver hashes *stringified* values, so an int column on one side
+    # and a float on the other ("1" vs "1.0") is a hash mismatch even when
+    # numerically equal. Require matching dtype kind (i/u merged) per column.
+    for c in got.columns:
+        gk = got[c].dtype.kind.replace("u", "i")
+        wk = want[c].dtype.kind.replace("u", "i")
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs {want[c].dtype} — "
+            "driver string-hash would mismatch"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-4)
