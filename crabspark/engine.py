@@ -432,73 +432,90 @@ class Engine:
         ]
         if img_rows is not None:
             tasks.append(lambda: self.catalog.append("images", img_rows, r))
-        with ThreadPoolExecutor(max_workers=len(tasks) + 2) as pool:
-            stats_f = pool.submit(_stats_task)
-            fetch_f = pool.submit(_fetch_stats_task)
-            futures = [pool.submit(t) for t in tasks]
-            for f in futures:
-                f.result()  # re-raise any failure before commit
-            part_stats = stats_f.result()
-            fetch_parts = fetch_f.result()
+        # Everything from here to commit() stages deltas; a failure anywhere
+        # must drop ALL staged deltas (not just the failing task's own) or a
+        # later commit on this Catalog would publish a half-round, breaking
+        # the atomic-round invariant that crash recovery relies on.
+        try:
+            with ThreadPoolExecutor(max_workers=len(tasks) + 2) as pool:
+                stats_f = pool.submit(_stats_task)
+                fetch_f = pool.submit(_fetch_stats_task)
+                futures = [pool.submit(t) for t in tasks]
+                for f in futures:
+                    f.result()  # re-raise any failure before commit
+                part_stats = stats_f.result()
+                fetch_parts = fetch_f.result()
 
-        def _tot(rows, col):
-            return int(sum(row[col] or 0 for row in rows))
+            def _tot(rows, col):
+                return int(sum(row[col] or 0 for row in rows))
 
-        stats = {
-            c: _tot(part_stats, c)
-            for c in ("cand_n", "blocked_n", "completed_dropped_n",
-                      "child_n", "img_n")
-        }
-        fetched_n = _tot(fetch_parts, "fetched_n")
-        part_rows = [
-            (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
-             int(row["blocked_n"] or 0), int(row["child_n"] or 0))
-            for row in part_stats
-        ] + [
-            (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
-             0, 0)
-            for row in fetch_parts
-        ]
-        self.catalog.append(
-            "metrics_partitions",
-            self.spark.createDataFrame(
-                part_rows,
-                "round int, stage string, partition_id int, rows long, "
-                "blocked long, children long",
-            ),
-            r,
-        )
-
-        self.total_visited += batch_n
-        if self.frontier_size is not None:
-            # children all enter the frontier; batch rows leave it. Depth-
-            # filtered children make this an overestimate (safe: trims more).
-            self.frontier_size = max(
-                0, self.frontier_size - batch_n + stats["child_n"]
+            stats = {
+                c: _tot(part_stats, c)
+                for c in ("cand_n", "blocked_n", "completed_dropped_n",
+                          "child_n", "img_n")
+            }
+            fetched_n = _tot(fetch_parts, "fetched_n")
+            part_rows = [
+                (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
+                 int(row["blocked_n"] or 0), int(row["child_n"] or 0))
+                for row in part_stats
+            ] + [
+                (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
+                 0, 0)
+                for row in fetch_parts
+            ]
+            self.catalog.append(
+                "metrics_partitions",
+                self.spark.createDataFrame(
+                    part_rows,
+                    "round int, stage string, partition_id int, rows long, "
+                    "blocked long, children long",
+                ),
+                r,
             )
-        metrics = self.spark.createDataFrame(
-            [
-                (
-                    r, batch_n, fetched_n, batch_n - fetched_n,
-                    stats["cand_n"], stats["blocked_n"],
-                    stats["completed_dropped_n"],
-                    stats["child_n"], stats["img_n"],
-                    self.total_visited, float(time.monotonic() - t0),
+
+            new_total = self.total_visited + batch_n
+            new_frontier_size = self.frontier_size
+            if new_frontier_size is not None:
+                # children all enter the frontier; batch rows leave it. Depth-
+                # filtered children make this an overestimate (safe: trims more).
+                new_frontier_size = max(
+                    0, new_frontier_size - batch_n + stats["child_n"]
                 )
-            ],
-            "round int, batch_n long, fetched_n long, failed_n long, cand_n long, "
-            "blocked_n long, completed_dropped_n long, child_n long, img_n long, "
-            "total_visited long, wall_s double",
-        )
-        self.catalog.append("metrics", metrics, r)
-        self.catalog.commit(
-            r,
-            {
-                "total_visited": self.total_visited,
-                "bloom": bloom_path,
-                "frontier_size": self.frontier_size,
-            },
-        )
+            metrics = self.spark.createDataFrame(
+                [
+                    (
+                        r, batch_n, fetched_n, batch_n - fetched_n,
+                        stats["cand_n"], stats["blocked_n"],
+                        stats["completed_dropped_n"],
+                        stats["child_n"], stats["img_n"],
+                        new_total, float(time.monotonic() - t0),
+                    )
+                ],
+                "round int, batch_n long, fetched_n long, failed_n long, cand_n long, "
+                "blocked_n long, completed_dropped_n long, child_n long, img_n long, "
+                "total_visited long, wall_s double",
+            )
+            self.catalog.append("metrics", metrics, r)
+            self.catalog.commit(
+                r,
+                {
+                    "total_visited": new_total,
+                    "bloom": bloom_path,
+                    "frontier_size": new_frontier_size,
+                },
+            )
+        except BaseException:
+            self.catalog.abort()
+            raise
+        finally:
+            hits.unpersist()
+            unseen.unpersist()
+            judged.unpersist()
+        # driver counters advance only after a successful commit, so a caller
+        # that catches a failed round and retries sees pre-round state
+        self.total_visited = new_total
+        self.frontier_size = new_frontier_size
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
@@ -510,9 +527,6 @@ class Engine:
         old_bloom = os.path.join(self.catalog.root, f"bloom-{r - 2:06d}.npy")
         if r >= 2 and os.path.exists(old_bloom):
             os.remove(old_bloom)
-        hits.unpersist()
-        unseen.unpersist()
-        judged.unpersist()
         self.round = r + 1
         return True
 

@@ -24,21 +24,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# 4 hex digits = up to 65535 surviving links per page per parent
+# 4 hex digits = up to 65535 surviving links per page per parent in the
+# compact form; larger ranks extend with a 'z'-prefix run (below) instead of
+# silently truncating, so order stays total for arbitrarily wide pages
 _WIDTH = 4
 
 
+def _extend_hex(h: str) -> str:
+    """Order-preserving variable-width hex: <=4 digits are zero-padded;
+    wider ranks get one 'z' per extra digit ('z' > 'f', so every 5-digit
+    key sorts after every 4-digit key, 6-digit after 5-digit, ...)."""
+    if len(h) <= _WIDTH:
+        return h.zfill(_WIDTH)
+    return "z" * (len(h) - _WIDTH) + h
+
+
 def seed_priority(i: int) -> str:
-    return format(i, "04x")
+    return _extend_hex(format(i, "x"))
 
 
 def child_priority(parent_priority, child_rank):
     """parent '0000/0002' + rank 3 -> '0000/0002/0003' (rank is 0-based
-    position among the page's surviving links, document order)."""
+    position among the page's surviving links, document order). Ranks
+    beyond 0xffff widen via the 'z'-prefix scheme of ``_extend_hex`` —
+    still unique and monotone, never truncated."""
+    hexs = F.lower(F.hex(child_rank))
     return F.concat(
         parent_priority,
         F.lit("/"),
-        F.lpad(F.lower(F.hex(child_rank)), _WIDTH, "0"),
+        F.when(
+            F.length(hexs) <= _WIDTH, F.lpad(hexs, _WIDTH, "0")
+        ).otherwise(
+            F.concat(F.repeat(F.lit("z"), F.length(hexs) - _WIDTH), hexs)
+        ),
     )
 
 

@@ -395,6 +395,119 @@ SELECT doc_id, mh0 || mh1 AS band0, mh2 || mh3 AS band1 FROM sig
 """
 
 
+# MinHash-LSH pairs: 2-word shingles -> 12 md5 minhashes -> 3 bands x 4.
+# Shingles (not unigram sets) are the dedup-grade representation: the
+# fixture's unigram token sets draw from a ~31-word vocabulary, so
+# set-Jaccard is dense noise (10^5 pairs >= 0.5); shingle-Jaccard cleanly
+# separates the planted near-dups (J >= 0.9) from everything else
+# (J < 0.3). Recall at J=0.9 is 1-(1-0.9^4)^3 ~ 0.96; random pairs
+# (J ~ 0.1) collide with p ~ 3e-4, so the candidate set stays near-linear
+# — the scale-safe blocking key the length-bucket join in q_ngram_jaccard
+# only approximates.
+_MH_N, _MH_BAND, _MH_ROWS = 12, 3, 4  # hashes, bands, rows per band
+# zip_with over two slices, NOT transform(sequence(...), i -> toks[i]):
+# the per-index form pays interpreted GetArrayItem per element and measured
+# ~10x slower on the sf0.1 corpus (13s -> 1.4s for the shingle explode)
+_SHINGLE_SPARK = (
+    "array_distinct(zip_with("
+    "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y)))"
+)
+_SHINGLE_DUCK = (
+    "list_distinct(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """The closed MinHash-LSH dedup loop: shingle -> minhash -> band-key
+    self-join -> candidate pairs -> exact shingle-Jaccard verify at 0.8.
+    All 12 minhashes come from ONE explode+groupBy scan (map-side partial
+    agg); the band self-join shuffles only (doc_id, bkey) pairs."""
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    sigs = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"mh{i}")
+                for i in range(_MH_N)
+            ]
+        )
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{k}:"),
+                        *[f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)],
+                    )
+                    for k in range(_MH_BAND)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = cand.join(sa, "doc_a").join(sb, "doc_b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return out.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.8
+    )
+
+
+_MH_DUCK_MINS = ", ".join(
+    f"min(md5('{i}|' || g)) AS mh{i}" for i in range(_MH_N)
+)
+_MH_DUCK_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, '%d:' || %s AS bkey FROM sig"
+    % (k, " || ".join(f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)))
+    for k in range(_MH_BAND)
+)
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM toks),
+flat AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+sig AS (
+  SELECT doc_id, {_MH_DUCK_MINS}
+  FROM flat GROUP BY doc_id),
+bands AS ({_MH_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash (8-bit) document fingerprint: per bit, sign-sum over tokens
     of the bit of md5(token) — portable via hex-digit arithmetic."""
@@ -604,72 +717,146 @@ FROM embeddings GROUP BY 1, 2
 """
 
 
-def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
-    are generated ONLY within the coarse grid cell (the scale path — the
-    quadratic pair join is confined to buckets), then exact cosine filters
-    at 0.95."""
-    e = _t(spark, sf_dir, "embeddings")
-    cell = e.select(
-        "vec_id", "embedding",
-        F.floor(F.element_at("embedding", 1) * 4).cast("long").alias("cx"),
-        F.floor(F.element_at("embedding", 2) * 4).cast("long").alias("cy"),
-        F.floor(F.element_at("embedding", 3) * 4).cast("long").alias("cz"),
-    )
-    a, b = cell.alias("a"), cell.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cx") == F.col("b.cx")) & (F.col("a.cy") == F.col("b.cy"))
-        & (F.col("a.cz") == F.col("b.cz"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
+# Embedding near-dup: random-hyperplane sign-bit LSH (SimHash-for-vectors).
+# _ND_BANDS bands of _ND_BITS sign bits from seeded Rademacher (+-1)
+# hyperplanes; a pair is a candidate iff it collides in >=1 band, then the
+# exact cosine filter keeps pairs >= _ND_THRESH. Sign buckets are balanced
+# by construction (each hyperplane splits the sphere in half), unlike a
+# floor-grid on raw components — the scale-safe blocking key.
+#
+# The driver fixture is random vectors (max organic cosine ~0.51), so a
+# 0.95-threshold query over the raw table is vacuously empty. To make the
+# correctness row falsifiable, the query PLANTS deterministic near-dups —
+# a +0.02 component shift of every 10th vector (planted cosine 0.987-0.99)
+# — identically in both dialects; Spark and the oracle must then agree on
+# ~|planted| result pairs exactly. At cos 0.98 the 8-bit/4-band collision
+# probability is ~0.97, so recall is near-total and deterministic.
+_ND_BANDS, _ND_BITS, _ND_DIM = 4, 8, 64
+_ND_DELTA = "0.02"  # one literal string, spliced into BOTH dialects
+_ND_THRESH = "0.95"
 
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
-    def _norm(x):
-        return F.sqrt(
-            F.aggregate(
-                x, F.lit(0.0),
-                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+def _nd_key_exprs() -> tuple[list[str], list[str]]:
+    """Per-band bucket-key expressions (Spark SQL, DuckDB SQL) from the
+    seeded hyperplanes; generated once at import, so both dialects embed
+    the identical +-1 literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = rng.choice([-1, 1], size=(_ND_BANDS * _ND_BITS, _ND_DIM))
+    spark_keys, duck_keys = [], []
+    for k in range(_ND_BANDS):
+        sterms, dterms = [], []
+        for j in range(_ND_BITS):
+            row = planes[k * _ND_BITS + j]
+            sarr = "array(" + ",".join("1D" if c > 0 else "-1D" for c in row) + ")"
+            darr = "[" + ",".join("1.0" if c > 0 else "-1.0" for c in row) + "]"
+            sdot = (
+                f"aggregate(zip_with(emb, {sarr}, (x, y) -> x * y), 0D, "
+                "(a, x) -> a + x)"
             )
+            ddot = f"list_sum(list_transform(list_zip(emb, {darr}), p -> p[1] * p[2]))"
+            sterms.append(f"{2 ** j} * CAST(({sdot}) >= 0 AS INT)")
+            dterms.append(f"{2 ** j} * (CASE WHEN ({ddot}) >= 0 THEN 1 ELSE 0 END)")
+        spark_keys.append("(" + " + ".join(sterms) + ")")
+        duck_keys.append("(" + " + ".join(dterms) + ")")
+    return spark_keys, duck_keys
+
+
+_ND_SPARK_KEYS, _ND_DUCK_KEYS = _nd_key_exprs()
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via sign-bit LSH blocking:
+    explode each vector into its per-band bucket keys, self-join on
+    (band, key) — balanced buckets, no quadratic grid cells — distinct the
+    candidate pairs, then exact cosine >= 0.95 verifies. Planted near-dups
+    (see module comment above) make the result non-empty on the fixture."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(f"transform(emb, x -> x + {_ND_DELTA}D)").alias("emb"),
+    )
+    aug = base.unionByName(planted)
+    keyed = aug.select(
+        "vec_id", "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.expr(_ND_SPARK_KEYS[k]).alias("bkey"),
+                    )
+                    for k in range(_ND_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "emb",
+        F.col("bk.band_id").alias("band_id"), F.col("bk.bkey").alias("bkey"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)
         )
 
-    sim = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        4,
-    )
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        sim.alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= 0.95)
+    sim = F.round(dot / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
+    return cand.select(
+        "vec_a", "vec_b", sim.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= float(_ND_THRESH))
 
 
-SQL_EMBEDDING_NEARDUP = """
-WITH cell AS (
-  SELECT vec_id, embedding,
-         CAST(floor(embedding[1] * 4) AS BIGINT) AS cx,
-         CAST(floor(embedding[2] * 4) AS BIGINT) AS cy,
-         CAST(floor(embedding[3] * 4) AS BIGINT) AS cz
+_ND_DUCK_BANDS = " UNION ALL ".join(
+    f"SELECT vec_id, emb, {k} AS band_id, {_ND_DUCK_KEYS[k]} AS bkey FROM aug"
+    for k in range(_ND_BANDS)
+)
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(
-           list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(a.embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
-  FROM cell a JOIN cell b
-    ON a.cx = b.cx AND a.cy = b.cy AND a.cz = b.cz AND a.vec_id < b.vec_id)
-SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+aug AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(emb, x -> x + {_ND_DELTA}) AS emb
+  FROM base WHERE vec_id % 10 = 0),
+keyed AS ({_ND_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keyed a JOIN keyed b
+    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+sims AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_sum(list_transform(list_zip(x.emb, y.emb), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(x.emb, v -> v * v)))
+                  * sqrt(list_sum(list_transform(y.emb, v -> v * v)))), 4)
+           AS cos_sim
+  FROM cand c JOIN aug x ON c.vec_a = x.vec_id JOIN aug y ON c.vec_b = y.vec_id)
+SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= {_ND_THRESH}
 """
 
 
@@ -759,6 +946,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),

@@ -69,6 +69,14 @@ def start_page_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent replay guard: a crash between catalog.commit and
+        # Spark's checkpoint write replays the micro-batch with the same
+        # batch_id — skip ids at or below the high-water mark. (Batch ids
+        # are monotone within one checkpointLocation; a fresh checkpoint
+        # dir therefore requires a fresh candidates catalog.)
+        last = int(catalog.extra("ingest_last_batch", -1))
+        if int(batch_id) <= last:
+            return
         out = (
             batch_df.select("url")
             .withColumn("c", canon(F.col("url")))
@@ -82,9 +90,9 @@ def start_page_ingest(
             .filter(F.col("url").isNotNull())
         )
         catalog.append("candidates", out, int(batch_id))
-        # committed_round is monotone in the catalog; micro-batch ids can
-        # restart from 0 on checkpoint recovery
-        catalog.commit(int(batch_id))
+        # committed_round is monotone in the catalog; the high-water mark
+        # rides the same atomic manifest write as the delta publish
+        catalog.commit(int(batch_id), {"ingest_last_batch": int(batch_id)})
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -122,8 +122,10 @@ class Catalog:
 
     def abort(self) -> None:
         """Drop staged deltas (their files become unreferenced garbage,
-        exactly like Iceberg orphan files)."""
-        self._pending.clear()
+        exactly like Iceberg orphan files). Lock-guarded: concurrent
+        writers may still be staging when a failing round aborts."""
+        with self._lock:
+            self._pending.clear()
 
     # --- reads (committed state only) ---
     def _delta_paths(self, name: str) -> list[str]:

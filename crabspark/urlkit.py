@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from urllib.parse import quote
 
 import numpy as np
 import pandas as pd
@@ -286,6 +287,15 @@ def _resolve_bare(f: str, prefix: str, path: str, query: str) -> str:
 _AUTH_SPLIT_RE = re.compile(r"^([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$", re.S)
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# WHATWG-style encode sets, matching rust-url's Url::to_string() for special
+# schemes: anything outside the safe set is %-encoded as UTF-8. '%' is safe
+# so already-encoded sequences are never double-encoded (rust-url keeps
+# them verbatim too). The query set additionally admits '?'.
+_PATH_SAFE = "!$&'()*+,-./:;=@_~%"
+_QUERY_SAFE = _PATH_SAFE + "?"
+_PATH_UNSAFE_RE = re.compile(r"[^!$&'()*+,\-./:;=@_~%A-Za-z0-9]")
+_QUERY_UNSAFE_RE = re.compile(r"[^!$&'()*+,\-./:;=?@_~%A-Za-z0-9]")
+
 
 def _normalize_dots(p: str) -> str:
     """WHATWG path dot-segment removal, as rust-url applies on parse."""
@@ -315,7 +325,11 @@ def parse_serialize(urls: pd.Series) -> pd.DataFrame:
     Key behaviors: scheme required (scheme-less 'www.x.com/y' fails exactly
     like Url::parse's RelativeUrlWithoutBase, reference src/tools.rs:169);
     scheme+host lowercased; default port dropped; empty path -> '/';
-    dot segments normalized; fragment dropped (already stripped upstream)."""
+    dot segments normalized; fragment dropped (already stripped upstream);
+    unicode hosts IDNA/punycode-encoded and path/query %-encoded per the
+    WHATWG sets — so seen keys and sha1s agree with Url::to_string() on
+    real-web (non-ASCII / space-bearing) inputs, not just the ASCII
+    conformance corpus."""
     urls = _as_object(urls)
     n = len(urls)
     ser = np.full(n, None, dtype=object)
@@ -356,12 +370,23 @@ def parse_serialize(urls: pd.Series) -> pd.DataFrame:
             host = host.lower()
             if not host or " " in host:
                 continue  # Url::parse error (empty host for special scheme)
+            if not host.isascii():
+                # rust-url punycodes unicode hosts (IDNA); encode failure is
+                # a parse error there too
+                try:
+                    host = host.encode("idna").decode("ascii")
+                except UnicodeError:
+                    continue
             if port == _DEFAULT_PORTS[s] or port == "":
                 port = None
             if not pth:
                 pth = "/"
             if "/." in pth or pth.startswith("."):
                 pth = _normalize_dots(pth)
+            if _PATH_UNSAFE_RE.search(pth):
+                pth = quote(pth, safe=_PATH_SAFE)
+            if q is not None and _QUERY_UNSAFE_RE.search(q):
+                q = quote(q, safe=_QUERY_SAFE)
             out = s + "://" + host
             if port:
                 out += ":" + port

@@ -70,3 +70,18 @@ def test_extras_roundtrip(spark, tmp_path):
     assert cat2.extra("total_visited") == 7
     assert cat2.extra("bloom") == "/x/y.npy"
     assert cat2.extra("missing", "dflt") == "dflt"
+
+
+def test_abort_drops_all_staged_deltas(spark, tmp_path):
+    """abort() after a partial round stages nothing into the next commit
+    (the atomic-round invariant a retrying caller relies on)."""
+    cat = Catalog(str(tmp_path / "cat-abort"), spark)
+    df = spark.createDataFrame([(1,)], "x int")
+    cat.append("t1", df, 0)
+    cat.append("t2", df, 0)
+    cat.abort()
+    cat.commit(0)
+    assert cat.read("t1") is None and cat.read("t2") is None
+    cat.append("t1", df, 1)
+    cat.commit(1)
+    assert cat.read("t1").count() == 1

@@ -253,3 +253,34 @@ def test_config_type_mismatch_keeps_default(tmp_path):
     assert cfg.free_crawl is True
     assert cfg.starting_url == "https://ok.example.com"
     assert cfg.permitted_domains == ["a.com", "2"]
+
+
+def test_percent_encoding_whatwg():
+    # real-web fidelity: rust-url %-encodes path/query per the WHATWG sets
+    got = urlkit.parse_serialize(pd.Series([
+        "http://example.com/a b/c",          # space in path
+        "http://example.com/héllo",     # non-ASCII path, UTF-8 triplets
+        "http://example.com/p?q=ü&x=1", # non-ASCII query
+        "http://example.com/already%20enc",  # no double-encoding
+        "http://example.com/a<b>{c}",        # gt/lt/braces encoded
+    ]))
+    assert got["ser"].iloc[0] == "http://example.com/a%20b/c"
+    assert got["ser"].iloc[1] == "http://example.com/h%C3%A9llo"
+    assert got["ser"].iloc[2] == "http://example.com/p?q=%C3%BC&x=1"
+    assert got["ser"].iloc[3] == "http://example.com/already%20enc"
+    assert got["ser"].iloc[4] == "http://example.com/a%3Cb%3E%7Bc%7D"
+    # ser/canon/sha1 are derived downstream: idempotence keeps keys stable
+    again = urlkit.parse_serialize(got["ser"])
+    assert list(again["ser"]) == list(got["ser"])
+
+
+def test_idna_host_punycode():
+    got = urlkit.parse_serialize(pd.Series([
+        "http://exämple.com/",      # -> punycode
+        "http://例え.jp/x",      # CJK host
+        "http://EXÄMPLE.com/",      # case-folds before IDNA
+    ]))
+    assert got["ser"].iloc[0] == "http://xn--exmple-cua.com/"
+    assert got["domain"].iloc[0] == "xn--exmple-cua.com"
+    assert got["ser"].iloc[1] == "http://xn--r8jz45g.jp/x"
+    assert got["ser"].iloc[2] == "http://xn--exmple-cua.com/"
