@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("-c", "--config", default="")
     ap.add_argument("--pages", required=True)
     ap.add_argument("--robots", default=None)
+    ap.add_argument("--assets", default=None,
+                    help="image-fetch responses parquet (url, content_type, bytes)")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--fresh-seen", action="store_true",
                     help="reference process-restart semantics: drop the "
@@ -39,6 +41,7 @@ def main() -> None:
     eng = Engine(
         spark, cfg, args.workdir,
         pages_path=args.pages, robots_path=args.robots,
+        assets_path=args.assets,
         fresh_seen=args.fresh_seen,
     )
     t0 = time.monotonic()

@@ -71,6 +71,8 @@ class Config:
     rotate_user_agents: bool = True
     respect_robots: bool = True
     crawler_timeout: int = 3600
+    # Parity-only: the fetch-simulation join has no per-request socket, so
+    # there is nothing to time out; accepted so reference configs load.
     crawler_request_timeout: int = 60
     crawler_request_delay_ms: int = 1000
 
@@ -82,7 +84,10 @@ class Config:
     debug: bool = True
     live_logging: bool = True
 
-    # Storage (reference src/config.rs:32-34; sqlite replaced by table layer)
+    # Storage (reference src/config.rs:32-34). Parity-only: the rebuild's
+    # Catalog always persists (the distributed engine has no in-memory-only
+    # mode — a crawl that can't checkpoint can't resume); the fields are
+    # accepted so reference config files load unchanged.
     sqlite_enabled: bool = True
     sqlite_path: str = "crawl_results.db"
 
@@ -98,6 +103,15 @@ class Config:
     salt_buckets: int = 8  # salt fan-out for host-skew mitigation
     bloom_capacity: int = 1_000_000  # expected seen-set size per bloom epoch
     bloom_fpp: float = 0.01
+    # fetch join strategy: 'auto' broadcasts the round batch into the pages
+    # scan only while it fits (<= fetch_broadcast_limit rows), else falls
+    # back to a shuffle-hash join (batch side builds) — a 10^8-row batch
+    # must never be broadcast; 'broadcast'/'shuffle' force a mode.
+    fetch_join: str = "auto"
+    fetch_broadcast_limit: int = 1_000_000
+    # fold the adds-only frontier (physically drop visited rows) once the
+    # delta chain grows past this many files — amortized O(live) rewrite
+    frontier_fold_deltas: int = 16
 
     def __post_init__(self) -> None:
         if not self.seeds:

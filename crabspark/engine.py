@@ -5,25 +5,35 @@ Each round is the distributed form of one reference recursion layer
 
   frontier --select_batch--> visit batch (politeness rank + cap trim, F6)
     -> visited_ops 'visit' rows (MERGE-equivalent upsert log, S6)
-    -> fetch-simulation join against the pages table (J1): the batch side is
-       broadcast INTO the pages scan, so the 100-TB side is streamed, never
-       shuffled; misses are fetch failures (Q4)
+    -> fetch-simulation join against the pages table (J1): small batches
+       broadcast INTO the pages scan (the 100-TB side streams, never
+       shuffles); batches past cfg.fetch_broadcast_limit switch to a
+       shuffle-hash join with the batch as build side; misses are fetch
+       failures (Q4)
     -> extract_links UDF -> posexplode (E2/E3) -> fused resolve/validate/
        canonicalize/sha1 UDF (C1/C2/F1-F4)
     -> first-observer dedup (U1/U2) -> bloom + anti-join seen filter (J2)
     -> completed filter (J3, observable on resume runs only)
-    -> robots broadcast join + matcher (J4/E4; blocked -> 'block' rows, Q6)
-    -> survivors: imgs recorded (S8), links become next frontier rows with
+    -> robots join on host + per-host-group executor-side matcher (J4/E4;
+       no robots body ever reaches the driver; blocked -> 'block' rows, Q6)
+    -> survivors: imgs join the assets table (Content-Type predicate F5,
+       BLOB stored, S2/S8), links become next-frontier ADD rows with
        DFS-prefix priorities (§7.4) and edge rows for the completion agg
     -> seen deltas + bloom update, metrics, atomic round commit.
 
 Scale design notes (10^10 frontier):
 - nothing driver-resident scales with frontier size: the bloom is fixed-size
-  bits, counters are scalars, robots rules are bounded by the round's
-  distinct hosts;
-- per-round writes are O(batch); the frontier overwrite is the only
-  O(frontier) step per round — on a real cluster this becomes a head-band
-  partition rewrite (only the lowest-priority band is re-materialized);
+  bits, counters are scalars, the queued-seed set is <= |seeds|;
+- per-round WRITES are O(batch + children): the frontier is adds-only;
+  visited rows are masked at read time (visit-round vs added-round join
+  over only the rounds since the last fold) and physically dropped by the
+  periodic fold — never an O(frontier) rewrite inside a round;
+- the per-round O(frontier) that remains is the scheduling SCAN
+  (per-host politeness rank needs every host's minimum); on a real cluster
+  the frontier table would be bucketed by host so that rank is
+  shuffle-free — the read itself is irreducible for global scheduling;
+- the cap trim is a range-partitioned exact top-k (per-partition counts +
+  boundary-partition rank), never a single-partition global sort;
 - work stages repartition by url_sha1 (uniform) so mega-host batches spread
   over all executors; politeness quota bounds any host's share per round;
 - every count the loop needs is computed in one aggregate job per round.
@@ -47,7 +57,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crabspark import frontier as frontier_mod
-from crabspark import robots as robots_mod
 from crabspark import udfs, urlkit
 from crabspark.config import Config
 from crabspark.seen import Bloom, filter_unseen
@@ -55,7 +64,7 @@ from crabspark.tables import Catalog
 
 FRONTIER_SCHEMA = (
     "url string, canon string, sha1 string, host string, referrer string, "
-    "priority string, depth int"
+    "priority string, depth int, added_round int"
 )
 OPS_SCHEMA = "url string, referrer string, round int, priority string, op string"
 EDGES_SCHEMA = "parent string, parent_round int, child string"
@@ -69,6 +78,7 @@ class Engine:
         workdir: str,
         pages_path: str,
         robots_path: str | None = None,
+        assets_path: str | None = None,
         fresh_seen: bool = False,
     ):
         from crabspark.shipping import ship_package
@@ -81,11 +91,28 @@ class Engine:
         self.robots_df = (
             spark.read.parquet(robots_path) if robots_path else None
         )
+        # image-fetch responses (url, content_type, bytes); when absent the
+        # engine falls back to presence-in-pages success semantics
+        self.assets = spark.read.parquet(assets_path) if assets_path else None
         self._extract_page = udfs.extract_page_udf()
         self._resolve = udfs.resolve_full_udf(
             cfg.permitted_domains, cfg.blacklist_domains, cfg.free_crawl
         )
         self._image_name = udfs.image_name_udf()
+        self._blocked_join = udfs.blocked_join_udf(
+            cfg.user_agents, cfg.respect_robots
+        )
+        # canonical seed set (tiny, driver-resident): seeds are the only
+        # canons that can be re-discovered while still queued, so the
+        # queued-seed set is the whole frontier-dedup state the driver needs
+        seed_parsed = urlkit.parse_serialize(
+            pd.Series(self.cfg.seeds, dtype=object)
+        )
+        seed_canon = urlkit.canonicalize(seed_parsed["ser"])
+        self._all_seed_canons = {
+            c for s, c in zip(seed_parsed["ser"], seed_canon) if s is not None
+        }
+        self._queued_seeds = set(self.catalog.extra("queued_seeds", []))
 
         self.round = self.catalog.committed_round + 1
         self.total_visited = int(self.catalog.extra("total_visited", 0))
@@ -108,7 +135,9 @@ class Engine:
             self._init_frontier()
             self.catalog.commit(
                 self.round - 1,
-                {"total_visited": 0, "frontier_size": self.frontier_size},
+                {"total_visited": 0, "frontier_size": self.frontier_size,
+                 "queued_seeds": sorted(self._queued_seeds),
+                 "frontier_folded_round": self.round - 1},
             )
 
     # ------------------------------------------------------------------
@@ -130,7 +159,7 @@ class Engine:
                 (
                     parsed["ser"].iloc[i], canon.iloc[i], sha1.iloc[i],
                     parsed["domain"].iloc[i], "STARTING_URL",
-                    frontier_mod.seed_priority(i), 0,
+                    frontier_mod.seed_priority(i), 0, self.round - 1,
                 )
             )
         self.catalog.overwrite(
@@ -139,6 +168,7 @@ class Engine:
             self.round,
         )
         self.frontier_size = len(rows)
+        self._queued_seeds = set(seen_canons)
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> dict:
@@ -151,7 +181,8 @@ class Engine:
             self.catalog.commit(
                 self.round - 1,
                 {"total_visited": self.total_visited,
-                 "frontier_size": self.frontier_size},
+                 "frontier_size": self.frontier_size,
+                 "queued_seeds": sorted(self._queued_seeds)},
             )
         started = time.monotonic()
         rounds_done = 0
@@ -180,7 +211,9 @@ class Engine:
         r = self.round
         t0 = time.monotonic()
         cfg = self.cfg
-        frontier = self.catalog.read("frontier")
+        queued_seeds_before = set(self._queued_seeds)
+        ops = self.catalog.read("visited_ops")
+        frontier = self._live_frontier(ops)
         if frontier is None:
             return False
         remaining = cfg.max_urls_to_visit - self.total_visited
@@ -210,14 +243,26 @@ class Engine:
             F.lit("visit").alias("op"),
         )
 
-        # --- fetch-simulation: broadcast the batch INTO the pages scan, so
-        # the (100-TB-design) pages side streams through a broadcast hash
-        # join with no shuffle; the fused page UDF then moves each html
-        # binary across Arrow exactly once, and only text/links survive ---
+        # --- fetch-simulation (J1). Small batches broadcast INTO the pages
+        # scan (pages side streams, no shuffle); batches beyond
+        # fetch_broadcast_limit switch to a shuffle-hash join with the batch
+        # as build side — a 10^8-row round batch must never be broadcast.
+        # The fused page UDF then moves each html binary across Arrow
+        # exactly once, and only text/links survive ---
+        join_mode = cfg.fetch_join
+        if join_mode == "auto":
+            join_mode = (
+                "broadcast" if batch_n <= cfg.fetch_broadcast_limit
+                else "shuffle"
+            )
+        small_side = (
+            F.broadcast if join_mode == "broadcast"
+            else (lambda d: d.hint("shuffle_hash"))
+        )
         hits = (
             self.pages.select("url", "html")
             .join(
-                F.broadcast(
+                small_side(
                     batch.select(
                         F.col("url"), F.col("canon").alias("p_canon"),
                         F.col("priority").alias("p_priority"),
@@ -235,12 +280,38 @@ class Engine:
             )
             .cache()
         )
+        # UA selection (C6): rotation is determinized per page; the
+        # non-rotating branch pins the FIRST configured UA, matching the
+        # reference's fallback (src/http.rs:16-20)
+        if cfg.rotate_user_agents and len(cfg.user_agents) > 1:
+            ua_col = F.element_at(
+                F.array(*[F.lit(u) for u in cfg.user_agents]),
+                (
+                    F.pmod(F.xxhash64("p_canon"), F.lit(len(cfg.user_agents)))
+                    + 1
+                ).cast("int"),
+            )
+        else:
+            ua_col = F.lit(cfg.user_agents[0] if cfg.user_agents else "")
+        # C5: the reference stores body.trim() (src/http.rs:37) — trim
+        # ASCII whitespace at both ends of the stored body (fixture bodies
+        # are UTF-8 with ASCII padding; Spark's trim() only strips ' ')
         fetched = hits.select(
             F.col("p_canon").alias("url"),
             F.col("p_ser").alias("url_ser"),
             F.lit(r).alias("round"),
             F.col("pg.text").alias("text"),
-            *([F.col("html")] if cfg.collect_html else []),
+            ua_col.alias("ua"),
+            *(
+                [
+                    F.expr(
+                        r"CAST(regexp_replace(CAST(html AS STRING),"
+                        r" '^\\s+|\\s+$', '') AS BINARY)"
+                    ).alias("html")
+                ]
+                if cfg.collect_html
+                else []
+            ),
         )
 
         # --- single explode over (kind, pos, href) structs, then the fused
@@ -289,7 +360,6 @@ class Engine:
         )
 
         # --- completed filter (J3): observable on fresh-seen resume runs ---
-        ops = self.catalog.read("visited_ops")
         if ops is not None:
             completed = ops.filter(F.col("op") == "complete").select(
                 F.col("url").alias("c_url"), F.lit(True).alias("is_completed")
@@ -302,19 +372,32 @@ class Engine:
         else:
             unseen = unseen.withColumn("is_completed", F.lit(False))
 
-        # --- robots: distinct hosts -> rules -> broadcast matcher (J4/E4).
-        # unseen is cached here: the rules collect doubles as its
-        # materialization (the whole extract/resolve/dedup/bloom pipeline
-        # runs exactly once per round) ---
-        unseen = unseen.cache()
-        host_rules = self._round_rules(unseen)
-        blocked_fn = udfs.blocked_udf(host_rules, cfg.respect_robots)
-        judged = unseen.withColumn(
-            "blocked",
-            F.when(F.col("is_completed"), F.lit(False)).otherwise(
-                blocked_fn(F.col("ser"), F.col("host"))
-            ),
-        ).cache()
+        # --- robots (J4/E4), executor-side: candidates join the robots
+        # table on host and the matcher parses per host-group INSIDE the
+        # pandas UDF — no robots body ever collects to the driver (a web-
+        # scale round touches 10^6+ hosts x multi-KB bodies). Spark
+        # broadcasts the robots side only while it is small; past the
+        # threshold AQE plans a shuffle join ---
+        if self.robots_df is not None and cfg.respect_robots:
+            judged = (
+                unseen.join(
+                    self.robots_df.select("host", "robots_txt"),
+                    on="host",
+                    how="left",
+                )
+                .withColumn(
+                    "blocked",
+                    F.when(F.col("is_completed"), F.lit(False)).otherwise(
+                        self._blocked_join(
+                            F.col("ser"), F.col("host"), F.col("robots_txt")
+                        )
+                    ),
+                )
+                .drop("robots_txt")
+                .cache()
+            )
+        else:
+            judged = unseen.withColumn("blocked", F.lit(False)).cache()
 
         # materialize the judged cache once (a single cheap count) so every
         # concurrent consumer below reads the cache instead of racing to
@@ -343,7 +426,11 @@ class Engine:
 
         allowed = judged.filter(~F.col("blocked") & ~F.col("is_completed"))
 
-        # --- images metadata (S8): fetch-sim success = present in pages ---
+        # --- images (S2/S8/F5): the image fetch joins the assets table;
+        # success requires an asset row whose Content-Type starts with
+        # 'image/' (reference src/http.rs:70-76) and the BLOB is stored
+        # (src/sqlite.rs:33-39). Without an assets table, fall back to
+        # presence-in-pages metadata-only semantics ---
         img_rows = None
         if cfg.collect_images:
             img_rows = allowed.filter(F.col("kind") == 1).select(
@@ -353,14 +440,43 @@ class Engine:
                 self._image_name(F.col("ser")).alias("name"),
                 F.lit(r).alias("round"),
             )
-            img_hit = (
-                self.pages.select(F.col("url").alias("url_ser"))
-                .join(F.broadcast(img_rows.select("url_ser")), "url_ser", "inner")
-                .withColumn("success", F.lit(True))
-            )
-            img_rows = img_rows.join(img_hit, "url_ser", "left").fillna(
-                {"success": False}
-            )
+            if self.assets is not None:
+                adf = self.assets.select(
+                    F.col("url").alias("url_ser"),
+                    "content_type",
+                    F.col("bytes").alias("image"),
+                )
+                img_rows = (
+                    img_rows.join(adf, "url_ser", "left")
+                    .withColumn(
+                        "success",
+                        F.coalesce(
+                            F.col("content_type").startswith("image/"),
+                            F.lit(False),
+                        ),
+                    )
+                    .withColumn(
+                        "image",
+                        F.when(F.col("success"), F.col("image")),
+                    )
+                )
+            else:
+                img_hit = (
+                    self.pages.select(F.col("url").alias("url_ser"))
+                    .join(
+                        small_side(img_rows.select("url_ser")),
+                        "url_ser", "inner",
+                    )
+                    .withColumn("success", F.lit(True))
+                )
+                img_rows = (
+                    img_rows.join(img_hit, "url_ser", "left")
+                    .fillna({"success": False})
+                    .withColumn(
+                        "content_type", F.lit(None).cast("string")
+                    )
+                    .withColumn("image", F.lit(None).cast("binary"))
+                )
 
         # --- children: next frontier rows + completion edges (A4) ---
         children = allowed.filter(F.col("kind") == 0)
@@ -376,22 +492,38 @@ class Engine:
             F.col("ser").alias("url"), "canon", "sha1", "host",
             F.col("p_canon").alias("referrer"), "priority",
             (F.col("p_depth") + 1).alias("depth"),
+            F.lit(r).alias("added_round"),
         )
         edges = children.select(
             F.col("p_canon").alias("parent"),
             F.lit(r).alias("parent_round"),
             F.col("canon").alias("child"),
         )
-        remaining_frontier = frontier.join(
-            batch.select("canon"), on="canon", how="left_anti"
-        )
         # a canon already queued must not be queued twice: only SEEDS can
         # hit this (every other frontier row is in the seen set, which the
-        # candidates were anti-joined against) — first-queued row wins
-        new_rows = new_rows.join(
-            remaining_frontier.select("canon"), on="canon", how="left_anti"
-        )
-        new_frontier = remaining_frontier.unionByName(new_rows)
+        # candidates were anti-joined against). The queued-seed set lives on
+        # the driver (<= |seeds| entries), so the guard is two tiny jobs on
+        # cached data instead of an O(frontier) anti-join + full rewrite.
+        if self._queued_seeds:
+            visited_seeds = {
+                row["canon"]
+                for row in batch.filter(
+                    F.col("canon").isin(sorted(self._queued_seeds))
+                ).select("canon").collect()
+            }
+            self._queued_seeds -= visited_seeds
+        if self._queued_seeds:
+            new_rows = new_rows.filter(
+                ~F.col("canon").isin(sorted(self._queued_seeds))
+            )
+        if self._all_seed_canons:
+            requeued = {
+                row["canon"]
+                for row in new_rows.filter(
+                    F.col("canon").isin(sorted(self._all_seed_canons))
+                ).select("canon").distinct().collect()
+            }
+            self._queued_seeds |= requeued
 
         # --- every remaining per-round output reads only the materialized
         # caches, so the table writes + bloom update run CONCURRENTLY
@@ -427,7 +559,10 @@ class Engine:
             ),
             lambda: self.catalog.append("seen", new_seen, r),
             lambda: self.catalog.append("edges", edges, r),
-            lambda: self.catalog.overwrite("frontier", new_frontier, r),
+            # frontier is adds-only: O(children) written per round; visited
+            # rows are masked at read time and physically dropped by the
+            # periodic fold (never an O(frontier) rewrite per round)
+            lambda: self.catalog.append("frontier", new_rows, r),
             _bloom_task,
         ]
         if img_rows is not None:
@@ -489,12 +624,14 @@ class Engine:
                         stats["cand_n"], stats["blocked_n"],
                         stats["completed_dropped_n"],
                         stats["child_n"], stats["img_n"],
-                        new_total, float(time.monotonic() - t0),
+                        new_total,
+                        -1 if new_frontier_size is None else new_frontier_size,
+                        float(time.monotonic() - t0),
                     )
                 ],
                 "round int, batch_n long, fetched_n long, failed_n long, cand_n long, "
                 "blocked_n long, completed_dropped_n long, child_n long, img_n long, "
-                "total_visited long, wall_s double",
+                "total_visited long, frontier_size long, wall_s double",
             )
             self.catalog.append("metrics", metrics, r)
             self.catalog.commit(
@@ -503,14 +640,15 @@ class Engine:
                     "total_visited": new_total,
                     "bloom": bloom_path,
                     "frontier_size": new_frontier_size,
+                    "queued_seeds": sorted(self._queued_seeds),
                 },
             )
         except BaseException:
             self.catalog.abort()
+            self._queued_seeds = queued_seeds_before
             raise
         finally:
             hits.unpersist()
-            unseen.unpersist()
             judged.unpersist()
         # driver counters advance only after a successful commit, so a caller
         # that catches a failed round and retries sees pre-round state
@@ -521,9 +659,9 @@ class Engine:
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
             if self.catalog.delta_count(t) > 16:
                 self.catalog.compact(t, r)
-        # disk GC: frontier deltas superseded by this round's overwrite,
-        # and bloom snapshots older than the previous round
-        self.catalog.gc_superseded("frontier")
+        if self.catalog.delta_count("frontier") > self.cfg.frontier_fold_deltas:
+            self._fold_frontier(r)
+        # disk GC: bloom snapshots older than the previous round
         old_bloom = os.path.join(self.catalog.root, f"bloom-{r - 2:06d}.npy")
         if r >= 2 and os.path.exists(old_bloom):
             os.remove(old_bloom)
@@ -531,17 +669,46 @@ class Engine:
         return True
 
     # ------------------------------------------------------------------
-    def _round_rules(self, cand: DataFrame) -> dict[str, robots_mod.HostRules]:
-        if self.robots_df is None or not self.cfg.respect_robots:
-            return {}
-        hosts = cand.select(F.col("host")).distinct()
-        rows = (
-            self.robots_df.join(F.broadcast(hosts), on="host", how="inner")
-            .collect()
+    def _live_frontier(self, ops: DataFrame | None) -> DataFrame | None:
+        """Merge-on-read view of the adds-only frontier: a row is live iff
+        no LATER round visited its canon. ``max(visit round) <= added_round``
+        (not ``<``) keeps the re-queued-seed case correct — within a round,
+        visits happen at the start and discovery at the end, so a canon
+        visited in round r and re-discovered in round r is queued again.
+        Visits at or before the last fold are already applied physically,
+        so the mask join scans only the visits of the last few rounds."""
+        adds = self.catalog.read("frontier")
+        if adds is None:
+            return None
+        if ops is None:
+            return adds
+        lc = int(self.catalog.extra("frontier_folded_round", -1))
+        vmax = (
+            ops.filter((F.col("op") == "visit") & (F.col("round") > lc))
+            .groupBy("url")
+            .agg(F.max("round").alias("__vmax"))
+            .withColumnRenamed("url", "canon")
         )
-        return robots_mod.build_host_rules(
-            {row["host"]: row["robots_txt"] for row in rows}, self.cfg.user_agents
+        return (
+            adds.join(vmax, on="canon", how="left")
+            .filter(
+                F.col("__vmax").isNull()
+                | (F.col("__vmax") <= F.col("added_round"))
+            )
+            .drop("__vmax")
         )
+
+    def _fold_frontier(self, r: int) -> None:
+        """Physically drop visited rows and fold the delta chain to one
+        file set — the amortized O(live) rewrite (every
+        ``frontier_fold_deltas`` rounds) that replaces the old
+        O(frontier)-per-round overwrite."""
+        live = self._live_frontier(self.catalog.read("visited_ops"))
+        if live is None:
+            return
+        self.catalog.overwrite("frontier", live, r)
+        self.catalog.commit(r, {"frontier_folded_round": r})
+        self.catalog.gc_superseded("frontier")
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:

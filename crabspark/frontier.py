@@ -102,8 +102,67 @@ def select_batch(
             .drop("__hr")
         )
     if remaining_cap is not None:
-        out = out.orderBy("priority").limit(remaining_cap)
+        out = top_k_by_priority(out, remaining_cap)
     return out
+
+
+# below this, orderBy().limit() is TakeOrdered (bounded per-partition heaps
+# merged on the driver) — fine; above it, the driver merge of k rows per
+# reduce step is the bottleneck and the ranged path wins
+_RANGED_TRIM_MIN = 10_000
+
+
+def top_k_by_priority(
+    df: DataFrame, k: int, ranged_min: int = _RANGED_TRIM_MIN
+) -> DataFrame:
+    """Exact global top-k ascending by 'priority' WITHOUT a single-partition
+    sort: range-partition on the key (partition i holds keys below partition
+    i+1), collect only the per-partition COUNTS (O(partitions) driver rows),
+    keep whole partitions under the cap boundary, and row-rank only inside
+    the one boundary partition. Requires unique keys (engine priorities are
+    unique by construction).
+
+    The range-partitioned copy is localCheckpoint'ed: RangePartitioner
+    samples its boundaries, so the counts job and the filter job must see
+    the SAME physical partitioning."""
+    if k <= ranged_min:
+        return df.orderBy("priority").limit(k)
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    parts = (
+        df.repartitionByRange(n_parts, F.col("priority"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (row["__pid"], row["cnt"])
+        for row in parts.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total <= k:
+        return parts.drop("__pid")
+    cum = 0
+    full_pids: list[int] = []
+    boundary_pid, boundary_need = None, 0
+    for pid, cnt in counts:
+        if cum + cnt <= k:
+            full_pids.append(pid)
+            cum += cnt
+        else:
+            if cum < k:
+                boundary_pid, boundary_need = pid, k - cum
+            break
+    out = parts.filter(F.col("__pid").isin(full_pids)) if full_pids else None
+    if boundary_pid is not None:
+        w = Window.partitionBy("__pid").orderBy("priority")
+        edge = (
+            parts.filter(F.col("__pid") == boundary_pid)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= boundary_need)
+            .drop("__rn")
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.drop("__pid")
 
 
 def first_occurrence(

@@ -84,6 +84,33 @@ def blocked_udf(host_rules: dict[str, robots.HostRules], respect_robots: bool):
     return _blocked
 
 
+def blocked_join_udf(user_agents: list[str], respect_robots: bool):
+    """Executor-side robots matcher: candidates arrive already JOINED to
+    their host's robots.txt body (candidates ⋈ robots on host), so no
+    robots body ever materializes on the driver — at web scale a round can
+    touch 10^6+ hosts × multi-KB bodies. Rules are parsed once per distinct
+    (host) within each Arrow batch (candidates of a host cluster into the
+    same batches after the join); hosts with no robots row (null body) are
+    allowed, exactly like the driver-map path."""
+    user_agents = list(user_agents)
+
+    @F.pandas_udf("boolean")
+    def _blocked(
+        ser: pd.Series, host: pd.Series, robots_txt: pd.Series
+    ) -> pd.Series:
+        rules = robots.build_host_rules(
+            {
+                h: t
+                for h, t in zip(host, robots_txt)
+                if isinstance(h, str) and isinstance(t, str)
+            },
+            user_agents,
+        )
+        return robots.blocked_mask(ser, host, rules, respect_robots)
+
+    return _blocked
+
+
 def image_name_udf():
     @F.pandas_udf("string")
     def _name(ser: pd.Series) -> pd.Series:

@@ -5,6 +5,7 @@ Generates the crawl input tables per BASELINE.json's input_hint:
   pages(url string, warc_ts timestamp, html binary, text string, lang string)
   robots(host string, robots_txt string)
   seeds(url string, priority string)
+  assets(url string, content_type string, bytes binary)   -- image fetches
 
 Everything is a pure function of (n_pages, seed): byte-identical across
 runs. The embedded link graph exercises every branch of the reference's
@@ -253,12 +254,15 @@ def _render_html(url: str, hrefs: list[str], imgs: list[str],
     for src in imgs:
         body.append(f'<img src="{src}" alt="im">')
     html = (
-        f"<html><head><title>{title}</title>"
+        # leading/trailing whitespace is deliberate: the reference stores
+        # body.trim() (src/http.rs:37), so the engine's collect_html trim
+        # must be observable against this fixture
+        f"\n  <html><head><title>{title}</title>"
         f"<script>var page = {h % 7};</script>"
         f"<style>.c{{color:#000}}</style></head>\n"
         f"<body><!-- generated fixture -->\n<h1>{title}</h1>\n"
         + "\n".join(paras + body)
-        + "\n</body></html>"
+        + "\n</body></html>\n\n"
     )
     return html.encode("utf-8")
 
@@ -284,7 +288,42 @@ def generate(n_pages: int = 2000, seed: int = 42,
     pages = pages[["url", "warc_ts", "html", "text", "lang"]]
     robots_df = pd.DataFrame(ROBOTS_ROWS, columns=["host", "robots_txt"])
     seeds_df = pd.DataFrame({"url": [SEED_URL], "priority": ["0000"]})
-    return {"pages": pages, "robots": robots_df, "seeds": seeds_df, "graph": g}
+    assets_df = _gen_assets(g)
+    return {"pages": pages, "robots": robots_df, "seeds": seeds_df,
+            "assets": assets_df, "graph": g}
+
+
+def _gen_assets(g: dict) -> pd.DataFrame:
+    """Image-fetch responses keyed by RESOLVED image URL: ~3/4 exist, and
+    ~1/7 of those masquerade as text/html (the Content-Type reject path,
+    reference src/http.rs:70-76). Bytes are deterministic sha1-seeded
+    blobs (src/sqlite.rs:33-39 stores the BLOB)."""
+    srcs, refs = [], []
+    for u in g["urls"]:
+        for src in g["images"][u]:
+            srcs.append(src)
+            refs.append(u)
+    if not srcs:
+        return pd.DataFrame(columns=["url", "content_type", "bytes"])
+    resolved = urlkit.resolve_links(
+        pd.Series(srcs, dtype=object), pd.Series(refs, dtype=object)
+    )
+    sers = sorted(
+        {s for s in urlkit.parse_serialize(resolved)["ser"] if s is not None}
+    )
+    rows = []
+    for ser in sers:
+        if _h(ser + "exists") % 4 == 0:
+            continue  # fetch failure: no asset row
+        if _h(ser + "ct") % 7 == 0:
+            ct = "text/html"  # masquerading response -> rejected (F5)
+        elif ser.endswith(".png"):
+            ct = "image/png"
+        else:
+            ct = "image/jpeg"
+        blob = (hashlib.sha1(ser.encode()).digest() * 4)[: 40 + _h(ser) % 24]
+        rows.append({"url": ser, "content_type": ct, "bytes": blob})
+    return pd.DataFrame(rows, columns=["url", "content_type", "bytes"])
 
 
 def write(outdir: str, n_pages: int = 2000, seed: int = 42,
@@ -303,6 +342,9 @@ def write(outdir: str, n_pages: int = 2000, seed: int = 42,
     )
     data["robots"].to_parquet(os.path.join(outdir, "robots.parquet"), index=False)
     data["seeds"].to_parquet(os.path.join(outdir, "seeds.parquet"), index=False)
+    data["assets"].to_parquet(
+        os.path.join(outdir, "assets.parquet"), index=False, row_group_size=2048
+    )
     return data
 
 

@@ -39,15 +39,19 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)
     # canonical url -> extracted text (for fetched pages)
     texts: dict[str, str] = field(default_factory=dict)
-    # (referrer_canon, img_canon, name, success)
-    images: list[tuple[str, str, str, bool]] = field(default_factory=list)
+    # canonical url -> stored (trimmed) html body, when cfg.collect_html
+    htmls: dict[str, bytes] = field(default_factory=dict)
+    # (referrer_canon, img_canon, name, success, content_type, image_bytes)
+    images: list[tuple] = field(default_factory=list)
     edges: list[tuple[str, str]] = field(default_factory=list)  # canon parent->child
 
 
 class Oracle:
     def __init__(self, pages: dict[str, bytes], robots_by_host: dict[str, str],
-                 cfg: Config):
+                 cfg: Config,
+                 assets: dict[str, tuple[str, bytes]] | None = None):
         self.pages = pages
+        self.assets = assets
         self.cfg = cfg
         self.rules = robotsmod.build_host_rules(robots_by_host, cfg.user_agents)
         self.r = OracleResult()
@@ -127,6 +131,9 @@ class Oracle:
         self.r.texts[canon] = extract.extract_text(
             pd.Series([html], dtype=object)
         ).iloc[0]
+        if self.cfg.collect_html:
+            # reference stores body.trim() (src/http.rs:37)
+            self.r.htmls[canon] = html.strip()
 
         link_df = extract.extract_links(pd.Series([html], dtype=object))
         children = self._filter_links(
@@ -138,9 +145,20 @@ class Oracle:
         if self.cfg.collect_images:
             for img_ser in img_urls:
                 name = extract.image_name(pd.Series([img_ser])).iloc[0]
-                self.r.images.append(
-                    (canon, _canon1(img_ser), name, img_ser in self.pages)
-                )
+                if self.assets is not None:
+                    # image success = asset fetched AND Content-Type is
+                    # image/* (reference src/http.rs:70-76); BLOB stored
+                    ct, blob = self.assets.get(img_ser, (None, None))
+                    ok = bool(ct) and ct.startswith("image/")
+                    self.r.images.append(
+                        (canon, _canon1(img_ser), name, ok, ct,
+                         blob if ok else None)
+                    )
+                else:
+                    self.r.images.append(
+                        (canon, _canon1(img_ser), name,
+                         img_ser in self.pages, None, None)
+                    )
 
         ok = True
         for child_ser in children:
@@ -158,12 +176,18 @@ def _canon1(url: str) -> str:
 
 
 def run_oracle(pages_df: pd.DataFrame, robots_df: pd.DataFrame,
-               cfg: Config) -> OracleResult:
+               cfg: Config,
+               assets_df: pd.DataFrame | None = None) -> OracleResult:
     """Crawl the fixture with reference semantics; returns golden state."""
     sys.setrecursionlimit(100_000)
     pages = {r.url: r.html for r in pages_df.itertuples()}
     robots_by_host = {r.host: r.robots_txt for r in robots_df.itertuples()}
-    oracle = Oracle(pages, robots_by_host, cfg)
+    assets = (
+        {r.url: (r.content_type, r.bytes) for r in assets_df.itertuples()}
+        if assets_df is not None
+        else None
+    )
+    oracle = Oracle(pages, robots_by_host, cfg, assets=assets)
     for seed in cfg.seeds:
         # reference: crawl(seed, "STARTING_URL") (src/crawl.rs:122-124);
         # the seed URL string is parsed before the first visit (main.rs:71).

@@ -77,3 +77,53 @@ def test_robots_off(spark, fixture_paths, tmp_path):
     assert not any(r["is_blocked"] for r in golden.visited.values())
     visited = {u for u, _ in golden.visit_order}
     assert "mega1.com/moz-block/secret.html" in visited
+
+
+def test_shuffle_fetch_join(spark, fixture_paths, tmp_path):
+    """fetch_join='shuffle': identical crawl through the non-broadcast
+    (shuffle-hash) fetch-join path — the 10^8-row-batch scale mode."""
+    cfg = cfg_with(free_crawl=True, fetch_join="shuffle")
+    compare(spark, fixture_paths, tmp_path, cfg, "shufflejoin")
+
+
+def test_frontier_fold_every_round(spark, fixture_paths, tmp_path):
+    """frontier_fold_deltas=0: the adds-only frontier folds (physically
+    drops visited rows) after every round — parity must be unaffected and
+    the frontier table must stay a single folded delta."""
+    cfg = cfg_with(free_crawl=True, frontier_fold_deltas=0)
+    data = gen_pages.generate(n_pages=N_PAGES, seed=42)
+    golden = run_oracle(data["pages"], data["robots"], cfg)
+    eng = Engine(
+        spark, cfg, str(tmp_path / "fold"),
+        pages_path=f"{fixture_paths}/pages.parquet",
+        robots_path=f"{fixture_paths}/robots.parquet",
+    )
+    eng.run()
+    vis = {r["url"]: r for r in eng.read_visited().collect()}
+    assert set(vis) == set(golden.visited)
+    for url, row in golden.visited.items():
+        assert vis[url]["is_blocked"] == row["is_blocked"], url
+        assert vis[url]["is_complete"] == row["is_complete"], url
+    assert eng.catalog.delta_count("frontier") == 1
+    # folded frontier holds no visited canon
+    frontier = eng.catalog.read("frontier")
+    if frontier is not None:
+        live = {r["canon"] for r in frontier.collect()}
+        assert not (live & set(golden.visited))
+
+
+def test_ua_not_rotating(spark, fixture_paths, tmp_path):
+    """rotate_user_agents=False pins the FIRST configured UA for every
+    fetch (reference src/http.rs:16-20 fallback branch)."""
+    cfg = cfg_with(free_crawl=True, rotate_user_agents=False)
+    eng = Engine(
+        spark, cfg, str(tmp_path / "noua"),
+        pages_path=f"{fixture_paths}/pages.parquet",
+        robots_path=f"{fixture_paths}/robots.parquet",
+    )
+    eng.run()
+    uas = {
+        r["ua"]
+        for r in eng.catalog.read("fetched").select("ua").distinct().collect()
+    }
+    assert uas == {cfg.user_agents[0]}

@@ -134,7 +134,7 @@ def test_throughput_same_sets(tp_engine, golden_full):
 def test_images_metadata(tp_engine, golden_full):
     imgs = tp_engine.catalog.read("images")
     got = {(r["referrer"], r["url"], r["name"]) for r in imgs.collect()}
-    want = {(ref, url, name) for ref, url, name, _ in golden_full.images}
+    want = {(t[0], t[1], t[2]) for t in golden_full.images}
     assert got == want
 
 

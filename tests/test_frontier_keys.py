@@ -49,3 +49,29 @@ def test_python_and_spark_widening_agree(spark):
     ]
     want = ["p/" + frontier._extend_hex(format(r, "x")) for r in sorted(ranks)]
     assert got == want
+
+
+def test_top_k_by_priority_matches_global_sort(spark):
+    """Ranged top-k (range partition + per-partition counts + boundary
+    rank) returns exactly the k smallest priorities, across partition
+    boundaries and for k >= total."""
+    import random
+
+    from crabspark.frontier import top_k_by_priority
+
+    rnd = random.Random(7)
+    keys = [f"{rnd.randrange(16**8):08x}" for _ in range(5000)]
+    keys = list(dict.fromkeys(keys))  # unique
+    df = spark.createDataFrame([(k,) for k in keys], "priority string").repartition(16)
+    want = sorted(keys)
+    for k in (1, 37, 1500, len(keys), len(keys) + 10):
+        got = sorted(
+            r["priority"]
+            for r in top_k_by_priority(df, k, ranged_min=0).collect()
+        )
+        assert got == want[:k], f"k={k}: {len(got)} rows"
+    # and the TakeOrdered small path agrees
+    got_small = sorted(
+        r["priority"] for r in top_k_by_priority(df, 37).collect()
+    )
+    assert got_small == want[:37]

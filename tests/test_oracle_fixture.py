@@ -139,8 +139,8 @@ def test_cap_poisons_ancestors_q5(fixture_data):
 
 def test_images_recorded(golden):
     assert golden.images  # img survivors recorded as metadata
-    names = {n for _, _, n, _ in golden.images}
+    names = {t[2] for t in golden.images}
     assert any(n.endswith(".png") for n in names)
     # imgs enter seen too (Q6/U3)
-    img_canons = {c for _, c, _, _ in golden.images}
+    img_canons = {t[1] for t in golden.images}
     assert img_canons <= golden.seen
