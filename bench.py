@@ -29,9 +29,9 @@ BENCH_QUERIES = [
     "canonicalize", "host_counts", "seen_antijoin", "perhost_rank",
     "visited_upsert", "completion_agg", "first_observer", "robots_join",
     "dedup_exact", "ngram_jaccard", "minhash_signature", "minhash_lsh_pairs",
-    "simhash",
+    "dedup_clusters", "simhash",
     "text_quality", "lang_id", "doc_fingerprint",
-    "ann_cosine_topk", "ann_grid_buckets",
+    "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
     "embedding_neardup", "sessionize", "token_histogram",
 ]
 

@@ -508,6 +508,61 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    verified pair graph (jaccard >= 0.8), label = min doc_id reachable —
+    the 'keep one canonical doc per cluster' step of a dedup pipeline.
+    Spark side is iterative min-label propagation to fixpoint (bounded by
+    cluster diameter; near-dup clusters are tiny, so 2-3 rounds); docs in
+    no pair are their own cluster. The DuckDB oracle is the equivalent
+    recursive-CTE reachability closure."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()  # the loop re-reads edges every iteration
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(
+            labels, edges["doc_a"] == labels["doc_id"], "inner"
+        ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_LSH_PAIRS.strip()}) mp),
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL SELECT doc_b AS s, doc_a AS t FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN edges e ON e.s = r.dst)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash (8-bit) document fingerprint: per bit, sign-sum over tokens
     of the bit of md5(token) — portable via hex-digit arithmetic."""
@@ -717,6 +772,8 @@ FROM embeddings GROUP BY 1, 2
 """
 
 
+
+
 # Embedding near-dup: random-hyperplane sign-bit LSH (SimHash-for-vectors).
 # _ND_BANDS bands of _ND_BITS sign bits from seeded Rademacher (+-1)
 # hyperplanes; a pair is a candidate iff it collides in >=1 band, then the
@@ -860,6 +917,77 @@ SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= {_ND_THRESH}
 """
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path past brute force): candidates are
+    the vectors sharing >= 1 sign-bit band with the query (vec_id 0), then
+    exact cosine ranks the candidates, top-10. Same seeded hyperplanes as
+    embedding_neardup; candidate volume ~ |table| / 2^bits per band, so
+    the exact-cosine work is a small fraction of the brute-force scan —
+    the documented trade is LSH recall (a true neighbor colliding in no
+    band is missed)."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    keyed = base.select(
+        "vec_id", "label", "emb",
+        *[F.expr(_ND_SPARK_KEYS[k]).alias(f"k{k}") for k in range(_ND_BANDS)],
+    )
+    q = keyed.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("qvec"),
+        *[F.col(f"k{k}").alias(f"qk{k}") for k in range(_ND_BANDS)],
+    )
+    cand = keyed.crossJoin(F.broadcast(q))
+    collide = None
+    for k in range(_ND_BANDS):
+        c = F.col(f"k{k}") == F.col(f"qk{k}")
+        collide = c if collide is None else (collide | c)
+    cand = cand.filter(collide)
+    dot = F.aggregate(
+        F.zip_with("emb", "qvec", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+    def _norm(col):
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, v: a + v * v))
+
+    sim = F.round(dot / (_norm(F.col("emb")) * _norm(F.col("qvec"))), 4)
+    return (
+        cand.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+_ANN_LSH_DUCK_KEYS = ", ".join(
+    f"{_ND_DUCK_KEYS[k]} AS k{k}" for k in range(_ND_BANDS)
+)
+_ANN_LSH_DUCK_COLLIDE = " OR ".join(
+    f"c.k{k} = q.k{k}" for k in range(_ND_BANDS)
+)
+
+SQL_ANN_LSH_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+keyed AS (SELECT vec_id, label, emb, {_ANN_LSH_DUCK_KEYS} FROM base),
+q AS (SELECT * FROM keyed WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id, c.label, c.emb, q.emb AS qvec
+  FROM keyed c CROSS JOIN q WHERE {_ANN_LSH_DUCK_COLLIDE}),
+sims AS (
+  SELECT vec_id, label,
+         round(list_sum(list_transform(list_zip(emb, qvec), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(emb, v -> v * v)))
+                  * sqrt(list_sum(list_transform(qvec, v -> v * v)))), 4)
+           AS cos_sim
+  FROM cand)
+SELECT vec_id, label, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization over the events stream table: 30-minute inactivity
     gap via lag + windowed cumulative sum (the batch form of
@@ -947,12 +1075,14 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_grid_buckets": (q_ann_grid_buckets, SQL_ANN_GRID_BUCKETS),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
