@@ -141,6 +141,13 @@ class Engine:
             )
 
     # ------------------------------------------------------------------
+    def _debug_log(self, msg: str) -> None:
+        """C9 debug_log (reference src/tools.rs:15-19: conditional
+        println). Driver-side channel only — executor-side events land in
+        the metrics_partitions table instead of a log stream."""
+        if self.cfg.debug and self.cfg.live_logging:
+            print(f"[crabspark] {msg}", flush=True)
+
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
@@ -200,6 +207,11 @@ class Engine:
                 break
             rounds_done += 1
         self.finalize()
+        self._debug_log(
+            f"crawl stopped after {rounds_done} rounds: "
+            f"{self.total_visited} visited"
+            + (" (timed out)" if timed_out else "")
+        )
         return {
             "rounds": rounds_done,
             "visited": self.total_visited,
@@ -654,6 +666,13 @@ class Engine:
         # that catches a failed round and retries sees pre-round state
         self.total_visited = new_total
         self.frontier_size = new_frontier_size
+        self._debug_log(
+            f"round {r}: visited {batch_n}, fetched {fetched_n}, "
+            f"candidates {stats['cand_n']}, blocked {stats['blocked_n']}, "
+            f"children {stats['child_n']}, "
+            f"frontier ~{new_frontier_size}, "
+            f"{time.monotonic() - t0:.1f}s"
+        )
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):

@@ -100,3 +100,54 @@ def start_page_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_host_rate(
+    spark: SparkSession,
+    pages_dir: str,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    pages_schema: str = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ),
+):
+    """Watermarked windowed aggregation over the capture stream: pages per
+    (host, event-time window). Append output mode, so a window row is
+    emitted exactly once — when the watermark passes its end — and
+    captures arriving later than the watermark are DROPPED, not
+    double-counted (the late-data contract a downstream scheduler relies
+    on). Watermark state lives in the checkpoint: restarts with the same
+    checkpoint keep finalized windows closed. The sink appends finalized
+    rows to the catalog with the same replayed-batch guard as the ingest
+    sink."""
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+    agg = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), host.alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host", "n_pages",
+        )
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = int(catalog.extra("hostrate_last_batch", -1))
+        if int(batch_id) <= last:
+            return
+        catalog.append("host_rate", batch_df, int(batch_id))
+        catalog.commit(int(batch_id), {"hostrate_last_batch": int(batch_id)})
+
+    return (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -57,3 +57,59 @@ def test_ingest_replay_guard(spark, tmp_path):
     q2 = start_page_ingest(spark, pages_dir, cat, str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert cat.read("candidates").count() == n1
+
+
+def _pages_rows(urls_ts):
+    import datetime
+    import pandas as pd
+    rows = []
+    for url, minutes in urls_ts:
+        ts = datetime.datetime(2025, 3, 1, 12, 0, tzinfo=datetime.timezone.utc)
+        ts += datetime.timedelta(minutes=minutes)
+        rows.append({"url": url, "warc_ts": ts, "html": b"<html></html>",
+                     "text": "", "lang": "en"})
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def test_host_rate_window_and_late_drop(spark, tmp_path):
+    """Windowed per-host rate with watermark: windows finalize exactly once
+    (append mode) when the watermark passes; captures later than the
+    watermark are dropped, across a checkpoint restart."""
+    from crabspark.streaming import start_host_rate
+
+    pages_dir = str(tmp_path / "incoming")
+    os.makedirs(pages_dir)
+    # batch 1: window [12:00,12:10) has 3 a.com + 1 b.com; a straggler at
+    # +120min drives the watermark to 12:00+120-30 = 13:30 > 12:10, so the
+    # first window finalizes in this run
+    _pages_rows([
+        ("https://a.com/1", 1), ("https://a.com/2", 5), ("https://a.com/3", 9),
+        ("https://b.com/1", 2), ("https://a.com/later", 120),
+    ]).to_parquet(f"{pages_dir}/f1.parquet", index=False,
+                  coerce_timestamps="us", allow_truncated_timestamps=True)
+    cat = Catalog(str(tmp_path / "cat"), spark)
+    q = start_host_rate(spark, pages_dir, cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"].minute, r["host"]): r["n_pages"]
+        for r in cat.read("host_rate").collect()
+    }
+    assert got[(0, "a.com")] == 3 and got[(0, "b.com")] == 1
+
+    # batch 2 (restart, same checkpoint): a LATE capture for the finalized
+    # [12:00,12:10) window — must be dropped, not re-emitted
+    _pages_rows([("https://a.com/late", 3)]).to_parquet(
+        f"{pages_dir}/f2.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True)
+    q2 = start_host_rate(spark, pages_dir, cat, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    per_key = {}
+    for r in cat.read("host_rate").collect():
+        k = (r["win_start"].minute, r["host"])
+        per_key[k] = per_key.get(k, 0) + 1
+    assert per_key[(0, "a.com")] == 1  # emitted once, late row dropped
+    got2 = {
+        (r["win_start"].minute, r["host"]): r["n_pages"]
+        for r in cat.read("host_rate").collect()
+    }
+    assert got2[(0, "a.com")] == 3  # unchanged by the late capture
