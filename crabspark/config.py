@@ -112,6 +112,12 @@ class Config:
     # fold the adds-only frontier (physically drop visited rows) once the
     # delta chain grows past this many files — amortized O(live) rewrite
     frontier_fold_deltas: int = 16
+    # Arrow batch rows for the pandas-UDF stages. html blobs are multi-KB,
+    # so Spark's default 10k-row batches balloon to 100+ MB of Python-side
+    # objects per concurrent worker; with 32 workers the extract stage
+    # ANTI-scales on memory thrash (measured: 17s@8 cores -> 59s@32 at
+    # 10k rows vs 9.5s@32 at 512 rows on the 400k-page fixture).
+    arrow_max_records_per_batch: int = 512
 
     def __post_init__(self) -> None:
         if not self.seeds:

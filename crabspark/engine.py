@@ -86,6 +86,11 @@ class Engine:
         ship_package(spark)  # the in-process analogue of --py-files
         self.spark = spark
         self.cfg = cfg
+        # blob-heavy UDF stages need small Arrow batches (see Config)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(cfg.arrow_max_records_per_batch),
+        )
         self.catalog = Catalog(workdir, spark)
         self.pages = spark.read.parquet(pages_path)
         self.robots_df = (
@@ -234,8 +239,10 @@ class Engine:
         trim = remaining if (
             self.frontier_size is None or remaining < self.frontier_size
         ) else None
-        # localCheckpoint: materializes the (small) batch and cuts lineage,
-        # so the frontier-minus-batch anti-join below is not a self-join
+        # localCheckpoint: materializes the (small) batch once and cuts
+        # lineage — every downstream job (fetch join, visit rows, seed
+        # guard) reuses the materialized rows instead of re-running the
+        # frontier rank
         batch = frontier_mod.select_batch(
             frontier, trim, cfg.scheduling, cfg.per_host_quota,
             cfg.salt_buckets,

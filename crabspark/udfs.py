@@ -31,9 +31,7 @@ def extract_page_udf():
         "text string, link_links array<string>, img_links array<string>"
     )
     def _page(html: pd.Series) -> pd.DataFrame:
-        links = extract.extract_links(html)
-        links.insert(0, "text", extract.extract_text(html))
-        return links
+        return extract.extract_page(html)
 
     return _page
 

@@ -296,6 +296,18 @@ _QUERY_SAFE = _PATH_SAFE + "?"
 _PATH_UNSAFE_RE = re.compile(r"[^!$&'()*+,\-./:;=@_~%A-Za-z0-9]")
 _QUERY_UNSAFE_RE = re.compile(r"[^!$&'()*+,\-./:;=?@_~%A-Za-z0-9]")
 
+# Fast-path recognizer: URLs that serialize to THEMSELVES (plus at most a
+# '/' for an empty path): lowercase reg-name host, no userinfo/port/IPv6,
+# path and query already inside the WHATWG-safe sets. Everything else
+# (ports, uppercase, dots, encoding, IDNA) drops to the per-row loop.
+# The '/.' substring exclusion mirrors the slow path's dot-normalization
+# trigger exactly.
+_FAST_URL_RE = re.compile(
+    r"^(https?)://([a-z0-9\-.]+)"
+    r"(/[!$&'()*+,\-./:;=@_~%A-Za-z0-9]*)?"
+    r"(\?[!$&'()*+,\-./:;=?@_~%A-Za-z0-9]*)?$"
+)
+
 
 def _normalize_dots(p: str) -> str:
     """WHATWG path dot-segment removal, as rust-url applies on parse."""
@@ -337,65 +349,82 @@ def parse_serialize(urls: pd.Series) -> pd.DataFrame:
     if n == 0:
         return pd.DataFrame({"ser": ser, "domain": dom}, index=urls.index)
 
-    filled = urls.fillna("")
-    ext = filled.str.extract(_SCHEME_RE)
-    scheme = ext[0].str.lower()
-    rest = ext[1]
-    has_scheme = scheme.notna().to_numpy()
-    is_special = (scheme.isin(["http", "https"])).to_numpy()
-
-    # non-special schemes: parseable for rust-url, but domain() is None ->
-    # is_valid_site returns false; serialize as the raw string (unused).
-    other = has_scheme & ~is_special
-    ser[other] = filled.to_numpy()[other]
-
-    idxs = np.nonzero(is_special)[0]
-    if len(idxs):
-        schemes = scheme.to_numpy()
-        rests = rest.to_numpy()
-        for i in idxs:
-            s = schemes[i]
-            r = rests[i].lstrip("/\\")  # WHATWG: special schemes eat any // run
-            mm = _AUTH_SPLIT_RE.match(r)
-            auth, pth, q = mm.group(1), mm.group(2), mm.group(3)
-            if "@" in auth:
-                auth = auth.rsplit("@", 1)[1]
-            if "[" in auth or "]" in auth:
-                continue  # IPv6 literals: out of scope, treat as unparseable
-            host, port = auth, None
-            if ":" in auth:
-                host, port = auth.rsplit(":", 1)
-                if port and not port.isdigit():
-                    continue  # rust-url: invalid port => parse error
-            host = host.lower()
-            if not host or " " in host:
-                continue  # Url::parse error (empty host for special scheme)
-            if not host.isascii():
-                # rust-url punycodes unicode hosts (IDNA); encode failure is
-                # a parse error there too
-                try:
-                    host = host.encode("idna").decode("ascii")
-                except UnicodeError:
-                    continue
-            if port == _DEFAULT_PORTS[s] or port == "":
-                port = None
-            if not pth:
-                pth = "/"
-            if "/." in pth or pth.startswith("."):
-                pth = _normalize_dots(pth)
-            if _PATH_UNSAFE_RE.search(pth):
-                pth = quote(pth, safe=_PATH_SAFE)
-            if q is not None and _QUERY_UNSAFE_RE.search(q):
-                q = quote(q, safe=_QUERY_SAFE)
-            out = s + "://" + host
-            if port:
-                out += ":" + port
-            out += pth
-            if q is not None:
-                out += "?" + q
-            ser[i] = out
+    # One fused row loop, no pandas str.extract: a single pandas extract
+    # over a big batch costs more than this whole loop (~0.75s vs ~0.5s
+    # per 240k rows), and ~98% of real candidate URLs take the two-line
+    # fast branch (already-canonical: lowercase host, safe charset, no
+    # port/userinfo/dots — such a URL serializes to itself).
+    fv = urls.fillna("").to_numpy()
+    fast_match = _FAST_URL_RE.match
+    scheme_match = _SCHEME_RE.match
+    for i in range(n):
+        u = fv[i]
+        if not u:
+            continue
+        m = fast_match(u)
+        if m is not None and "/." not in u:
+            pth, q = m.group(3), m.group(4)
+            if pth:
+                ser[i] = u
+            elif q is not None:
+                # empty path serializes as '/', inserted before the query
+                ser[i] = u[: len(u) - len(q)] + "/" + q
+            else:
+                ser[i] = u + "/"
+            host = m.group(2)
             if not _IPV4_RE.match(host):
                 dom[i] = host
+            continue
+        m = scheme_match(u)
+        if m is None:
+            continue  # RelativeUrlWithoutBase (Q1 drop)
+        s = m.group(1).lower()
+        if s not in _DEFAULT_PORTS:
+            # non-special schemes: parseable for rust-url, but domain() is
+            # None -> is_valid_site false; serialize as the raw string.
+            ser[i] = u
+            continue
+        r = m.group(2).lstrip("/\\")  # WHATWG: special schemes eat any // run
+        mm = _AUTH_SPLIT_RE.match(r)
+        auth, pth, q = mm.group(1), mm.group(2), mm.group(3)
+        if "@" in auth:
+            auth = auth.rsplit("@", 1)[1]
+        if "[" in auth or "]" in auth:
+            continue  # IPv6 literals: out of scope, treat as unparseable
+        host, port = auth, None
+        if ":" in auth:
+            host, port = auth.rsplit(":", 1)
+            if port and not port.isdigit():
+                continue  # rust-url: invalid port => parse error
+        host = host.lower()
+        if not host or " " in host:
+            continue  # Url::parse error (empty host for special scheme)
+        if not host.isascii():
+            # rust-url punycodes unicode hosts (IDNA); encode failure is
+            # a parse error there too
+            try:
+                host = host.encode("idna").decode("ascii")
+            except UnicodeError:
+                continue
+        if port == _DEFAULT_PORTS[s] or port == "":
+            port = None
+        if not pth:
+            pth = "/"
+        if "/." in pth or pth.startswith("."):
+            pth = _normalize_dots(pth)
+        if _PATH_UNSAFE_RE.search(pth):
+            pth = quote(pth, safe=_PATH_SAFE)
+        if q is not None and _QUERY_UNSAFE_RE.search(q):
+            q = quote(q, safe=_QUERY_SAFE)
+        out = s + "://" + host
+        if port:
+            out += ":" + port
+        out += pth
+        if q is not None:
+            out += "?" + q
+        ser[i] = out
+        if not _IPV4_RE.match(host):
+            dom[i] = host
     return pd.DataFrame({"ser": ser, "domain": dom}, index=urls.index)
 
 
@@ -422,9 +451,26 @@ def valid_mask(
 def canonicalize(urls: pd.Series) -> pd.Series:
     """format_url_for_storage (reference src/tools.rs:190-195): keep
     host+path (scheme stripped, leading 'www.' stripped, query stripped — Q9),
-    unchanged when the regex misses, then strip ALL trailing slashes."""
+    unchanged when the pattern misses, then strip ALL trailing slashes.
+    Plain string slicing — byte-equivalent to the reference regex
+    ``^https?://(www\\.)?([^?]*).*$`` -> ``$2`` but ~5x faster per batch."""
     urls = _as_object(urls).fillna("")
-    return urls.str.replace(_STORAGE_RE, r"\2", regex=True).str.rstrip("/")
+    out = []
+    for u in urls:
+        if u.startswith("http://"):
+            rest = u[7:]
+        elif u.startswith("https://"):
+            rest = u[8:]
+        else:
+            out.append(u.rstrip("/"))
+            continue
+        if rest.startswith("www."):
+            rest = rest[4:]
+        qi = rest.find("?")
+        if qi >= 0:
+            rest = rest[:qi]
+        out.append(rest.rstrip("/"))
+    return pd.Series(out, index=urls.index, dtype=object)
 
 
 def canonicalize_rfc(urls: pd.Series) -> pd.Series:
