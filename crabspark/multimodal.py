@@ -5,18 +5,25 @@ The crawl records media as opaque ``binary`` columns with typed metadata
 db/migrations/012425_init.sql:20-29 / src/sqlite.rs:33-39). This module
 provides the Spark-side operators a training-data pipeline needs over such
 columns — schema, partition-friendly batch shape, Arrow-batched UDF
-signatures — with the actual codec work STUBBED: no image/audio libraries
-exist in this environment, so ``decode`` produces a deterministic fake
-derived from the bytes (sha1-seeded), clearly marked. Swapping the stub for
-PIL/ffmpeg changes one function body; every signature, schema and
-``mapInPandas`` batch contract stays as-is.
+signatures — with REAL codecs for the formats decodable without external libraries —
+24-bit uncompressed BMP (pure numpy) and PCM WAV (stdlib ``wave``) — and a
+deterministic sha1-seeded FAKE for everything else (JPEG/PNG/MP4 need
+PIL/ffmpeg, absent in this environment; swapping the fallback for them
+changes one function body; every signature, schema and ``mapInPandas``
+batch contract stays as-is).
 
 Operators:
 - ``media_schema``         canonical media-table schema
-- ``decode_meta``          binary -> (width, height, n_frames, duration_ms)
-- ``image_features``       binary -> fixed-dim float vector (fake embedding)
-- ``resize_images``        binary -> binary (stub: tagged passthrough)
-- ``sample_frames``        video binary -> exploded frame rows (stub bytes)
+- ``encode_bmp/decode_bmp``  real 24-bit BMP codec (numpy)
+- ``encode_wav/decode_wav``  real PCM WAV codec (stdlib wave)
+- ``decode_meta``          binary -> (width, height, n_frames, duration_ms);
+                           REAL for BMP/WAV, fake fallback otherwise
+- ``image_features``       binary -> fixed-dim float vector; REAL color/
+                           luma-histogram features for BMP
+- ``audio_features``       binary -> (rms, zero-cross, band energies) for WAV
+- ``resize_images``        binary -> binary; REAL nearest-neighbor for BMP
+- ``sample_frames``        video binary -> exploded frame rows (stub bytes —
+                           the one remaining fake path, video needs ffmpeg)
 
 All operators run via ``mapInPandas`` so each partition streams
 Arrow batches without materializing the full binary column per row group.
@@ -25,6 +32,9 @@ Arrow batches without materializing the full binary column per row group.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -37,6 +47,83 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_DIM = 16
+
+
+# ---------------------------------------------------------------------------
+# real codecs (no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) from an HxWx3 uint8 RGB
+    array — bottom-up rows, BGR byte order, 4-byte row padding."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):
+        rows.append(pixels[y][:, ::-1].tobytes() + b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """HxWx3 uint8 RGB array, or None when not a 24-bit uncompressed BMP."""
+    if not b or bytes(b[:2]) != b"BM" or len(b) < 54:
+        return None
+    try:
+        off = struct.unpack_from("<I", b, 10)[0]
+        _, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        row = w * 3
+        pad = (4 - row % 4) % 4
+        need = (row + pad) * h
+        if len(b) < off + need:
+            return None
+        arr = (
+            np.frombuffer(b, np.uint8, need, off)
+            .reshape(h, row + pad)[:, :row]
+            .reshape(h, w, 3)
+        )
+        if bottom_up:
+            arr = arr[::-1]
+        return arr[:, :, ::-1].copy()  # BGR -> RGB
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int] | None:
+    """(int16 sample array of the first channel, frame rate), or None."""
+    if not b or bytes(b[:4]) != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            n = w.getnframes()
+            raw = np.frombuffer(w.readframes(n), dtype="<i2")
+            ch = w.getnchannels()
+            return raw[::ch].copy(), w.getframerate()
+    except (wave.Error, EOFError, struct.error):
+        return None
+
 
 
 def _seed(b: bytes) -> np.random.Generator:
@@ -63,10 +150,21 @@ def decode_meta(df: DataFrame) -> DataFrame:
         "height int, n_frames int, duration_ms int, n_bytes long"
     )
 
+    def _meta(b, k):
+        img = decode_bmp(b) if k == "image" else None
+        if img is not None:
+            return img.shape[1], img.shape[0], 1, 0
+        if k == "audio":
+            wav = decode_wav(b)
+            if wav is not None:
+                samples, rate = wav
+                return 0, 0, 1, int(len(samples) * 1000 / rate)
+        return _fake_meta(b, k)
+
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
-                _fake_meta(b, k)
+                _meta(b, k)
                 for b, k in zip(pdf["media"], pdf["kind"])
             ]
             arr = np.array(metas, dtype=np.int64).reshape(len(pdf), 4)
@@ -88,36 +186,127 @@ def decode_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(op, schema=schema)
 
 
+def _bmp_features(img: np.ndarray) -> list[float]:
+    """16-dim REAL image features: per-channel mean+std (6), 8-bin luma
+    histogram (normalized), aspect ratio, log2 pixel count."""
+    f = img.astype(np.float32)
+    luma = f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+    hist = hist / max(1, luma.size)
+    h, w, _ = img.shape
+    return [
+        *(f.reshape(-1, 3).mean(axis=0) / 255.0),
+        *(f.reshape(-1, 3).std(axis=0) / 255.0),
+        *hist.astype(np.float32),
+        w / h,
+        float(np.log2(h * w)),
+    ]
+
+
 def image_features(df: DataFrame) -> DataFrame:
-    """media -> fixed-dim float feature vector (fake embedding; the ANN
-    operators in crabspark.queries consume exactly this shape)."""
-    schema = f"media_id long, embedding array<float>"
+    """media -> fixed-dim float feature vector: REAL color/luma features
+    for decodable BMPs, sha1-seeded fake otherwise (the ANN operators in
+    crabspark.queries consume exactly this shape)."""
+    schema = "media_id long, embedding array<float>, decoded boolean"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _seed(b).random(FEATURE_DIM).astype(np.float32).tolist()
-                for b in pdf["media"]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": feats})
+            feats, decoded = [], []
+            for b in pdf["media"]:
+                img = decode_bmp(b)
+                if img is not None:
+                    feats.append(np.float32(_bmp_features(img)).tolist())
+                    decoded.append(True)
+                else:
+                    feats.append(
+                        _seed(b).random(FEATURE_DIM).astype(np.float32).tolist()
+                    )
+                    decoded.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": feats,
+                    "decoded": decoded,
+                }
+            )
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """WAV -> REAL audio features: rms, zero-crossing rate, duration, and
+    4 coarse FFT band energies (undecodable rows are dropped — a training
+    pipeline filters them)."""
+    schema = (
+        "media_id long, rms double, zero_cross_rate double, "
+        "duration_ms int, band_energies array<float>"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["media"]):
+                wav = decode_wav(b)
+                if wav is None:
+                    continue
+                x, rate = wav
+                xf = x.astype(np.float64) / 32768.0
+                rms = float(np.sqrt(np.mean(xf**2))) if len(xf) else 0.0
+                zc = (
+                    float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1])))
+                    if len(xf) > 1 else 0.0
+                )
+                spec = np.abs(np.fft.rfft(xf)) ** 2
+                bands = [
+                    float(np.sum(band))
+                    for band in np.array_split(spec, 4)
+                ]
+                tot = sum(bands) or 1.0
+                rows.append(
+                    (
+                        mid, round(rms, 6), round(zc, 6),
+                        int(len(x) * 1000 / rate),
+                        np.float32([bnd / tot for bnd in bands]).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "rms", "zero_cross_rate", "duration_ms",
+                    "band_energies",
+                ],
+            )
 
     return df.mapInPandas(op, schema=schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Stub resize: deterministic tagged passthrough (real impl: PIL
-    thumbnail per batch). Keeps binary-in/binary-out shape."""
-    schema = "media_id long, media binary, width int, height int"
+    """Resize: REAL nearest-neighbor resample + BMP re-encode for
+    decodable BMPs; deterministic tagged passthrough for other formats
+    (PIL would handle those). Binary-in/binary-out shape either way."""
+    schema = "media_id long, media binary, width int, height int, decoded boolean"
     tag = f"RSZ{width}x{height}:".encode()
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            out, decoded = [], []
+            for b in pdf["media"]:
+                img = decode_bmp(b)
+                if img is not None:
+                    ys = (np.arange(height) * img.shape[0] // height)
+                    xs = (np.arange(width) * img.shape[1] // width)
+                    out.append(encode_bmp(img[ys][:, xs]))
+                    decoded.append(True)
+                else:
+                    out.append(tag + bytes(b or b""))
+                    decoded.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media": [tag + bytes(b or b"") for b in pdf["media"]],
+                    "media": out,
                     "width": np.int32(width),
                     "height": np.int32(height),
+                    "decoded": decoded,
                 }
             )
 

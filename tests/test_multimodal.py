@@ -59,3 +59,76 @@ def test_sample_frames_explodes_videos_only(media):
     idxs = sorted(r["frame_idx"] for r in rows)
     assert idxs[0] == 0 and all(i % 10 == 0 for i in idxs)
     assert all(len(bytes(r["frame"])) == 20 for r in rows)  # sha1 stub
+
+
+def _gradient_bmp(w, h):
+    import numpy as np
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(x * 255 // max(1, w - 1)), (y * 255 // max(1, h - 1)),
+         ((x + y) % 256)], axis=-1
+    ).astype("uint8")
+    return img, M.encode_bmp(img)
+
+
+def test_bmp_roundtrip_and_real_meta(media):
+    import numpy as np
+    spark, _ = media
+    img, b = _gradient_bmp(37, 23)  # odd width exercises row padding
+    back = M.decode_bmp(b)
+    assert back is not None and np.array_equal(back, img)
+    df = spark.createDataFrame(
+        [(10, "image", b, "https://a.com/r.bmp", "image/bmp")], M.MEDIA_SCHEMA
+    )
+    row = M.decode_meta(df).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (37, 23, 1)
+
+
+def test_bmp_real_resize_and_features(media):
+    import numpy as np
+    spark, _ = media
+    img, b = _gradient_bmp(64, 32)
+    df = spark.createDataFrame(
+        [(11, "image", b, "u", "image/bmp"),
+         (12, "image", b"\x89PNG not bmp", "u2", "image/png")],
+        M.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in M.resize_images(df, 16, 8).collect()}
+    assert out[11]["decoded"] and not out[12]["decoded"]
+    small = M.decode_bmp(bytes(out[11]["media"]))
+    assert small.shape == (8, 16, 3)
+    # nearest-neighbor: resampled pixel equals the source pixel it maps to
+    ys = (np.arange(8) * 32 // 8); xs = (np.arange(16) * 64 // 16)
+    assert np.array_equal(small, img[ys][:, xs])
+    feats = {r["media_id"]: r for r in M.image_features(df).collect()}
+    assert feats[11]["decoded"] and not feats[12]["decoded"]
+    e = feats[11]["embedding"]
+    assert len(e) == M.FEATURE_DIM
+    assert abs(e[0] - img[..., 0].mean() / 255.0) < 1e-3  # real mean R
+    assert abs(e[14] - 64 / 32) < 1e-6                    # aspect ratio
+
+
+def test_wav_roundtrip_and_audio_features(media):
+    import numpy as np
+    spark, _ = media
+    t = np.arange(8000)
+    x = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype("int16")
+    b = M.encode_wav(x, rate=8000)
+    samples, rate = M.decode_wav(b)
+    assert rate == 8000 and np.array_equal(samples, x)
+    df = spark.createDataFrame(
+        [(20, "audio", b, "u", "audio/wav"),
+         (21, "audio", b"RIFF junk", "u2", "audio/wav")],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.audio_features(df).collect()
+    assert len(rows) == 1  # undecodable dropped
+    r = rows[0]
+    assert r["duration_ms"] == 1000
+    assert abs(r["rms"] - (10000 / 32768) / 2**0.5) < 1e-3  # sine rms = A/sqrt2
+    assert abs(r["zero_cross_rate"] - 2 * 440 / 8000) < 0.01
+    assert abs(sum(r["band_energies"]) - 1.0) < 1e-5
+    # a 440 Hz tone at 8 kHz lives in the lowest quarter band
+    assert r["band_energies"][0] > 0.95
+    meta = {m["media_id"]: m for m in M.decode_meta(df).collect()}
+    assert meta[20]["duration_ms"] == 1000  # REAL duration, not fake
