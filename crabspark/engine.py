@@ -250,6 +250,7 @@ class Engine:
         batch_n = batch.count()
         if batch_n == 0:
             return False
+        t_batch = time.monotonic()
 
         # --- visit rows (upsert log): the DFS priority string IS the
         # within-round order key, so no global row_number sort is needed;
@@ -422,6 +423,7 @@ class Engine:
         # concurrent consumer below reads the cache instead of racing to
         # fill it with duplicate UDF work
         judged.count()
+        t_judged = time.monotonic()
 
         # --- seen deltas: every observed survivor enters seen (Q6) ---
         new_seen = judged.select(
@@ -678,7 +680,9 @@ class Engine:
             f"candidates {stats['cand_n']}, blocked {stats['blocked_n']}, "
             f"children {stats['child_n']}, "
             f"frontier ~{new_frontier_size}, "
-            f"{time.monotonic() - t0:.1f}s"
+            f"{time.monotonic() - t0:.1f}s "
+            f"(select {t_batch - t0:.1f} / pipeline {t_judged - t_batch:.1f}"
+            f" / write+commit {time.monotonic() - t_judged:.1f})"
         )
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
