@@ -93,6 +93,18 @@ class Engine:
         )
         self.catalog = Catalog(workdir, spark)
         self.pages = spark.read.parquet(pages_path)
+        # url-hash-bucketed pages layout (tables.bucketize_pages): the
+        # fetch join prunes the scan to the batch's bucket partitions
+        self.pages_buckets: int | None = None
+        try:
+            import json as _json
+
+            with open(
+                os.path.join(pages_path, "_crabspark_buckets.json")
+            ) as f:
+                self.pages_buckets = int(_json.load(f)["n_buckets"])
+        except (OSError, ValueError, KeyError, TypeError):
+            self.pages_buckets = None
         self.robots_df = (
             spark.read.parquet(robots_path) if robots_path else None
         )
@@ -279,8 +291,24 @@ class Engine:
             F.broadcast if join_mode == "broadcast"
             else (lambda d: d.hint("shuffle_hash"))
         )
+        # SPJ-style bucket pruning: with a url-bucketed pages layout, scan
+        # only the partitions the batch can hit (<= n_buckets ids collected
+        # — O(buckets) driver state, never O(rows)). A small batch then
+        # reads a small fraction of the 100-TB table; a huge batch's
+        # shuffle-hash join runs over pruned input.
+        pages_src = self.pages
+        if self.pages_buckets:
+            bids = [
+                row["b"]
+                for row in batch.select(
+                    F.pmod(
+                        F.xxhash64("url"), F.lit(self.pages_buckets)
+                    ).cast("int").alias("b")
+                ).distinct().collect()
+            ]
+            pages_src = self.pages.filter(F.col("bucket").isin(bids))
         hits = (
-            self.pages.select("url", "html")
+            pages_src.select("url", "html")
             .join(
                 small_side(
                     batch.select(

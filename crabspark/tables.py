@@ -175,3 +175,31 @@ class Catalog:
 
     def extra(self, key: str, default=None):
         return self.state["extras"].get(key, default)
+
+
+def bucketize_pages(
+    spark, src_path: str, dest_path: str, n_buckets: int = 64
+) -> None:
+    """One-time rewrite of a pages snapshot hash-bucketed by url
+    (``bucket = pmod(xxhash64(url), n)`` partition directories) — the
+    storage-partitioned-join layout for the fetch join: a round first
+    collects its batch's bucket ids (<= n_buckets ints) and scans ONLY
+    those partitions, so a small batch reads a small fraction of a 100-TB
+    pages table instead of all of it, and a huge batch's shuffle-hash
+    join runs over pruned input. The Iceberg/SPJ analogue without a
+    bucketing metastore: partition pruning does the work."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_path)
+    (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(dest_path)
+    )
+    with open(os.path.join(dest_path, "_crabspark_buckets.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)

@@ -127,3 +127,37 @@ def test_ua_not_rotating(spark, fixture_paths, tmp_path):
         for r in eng.catalog.read("fetched").select("ua").distinct().collect()
     }
     assert uas == {cfg.user_agents[0]}
+
+
+def test_bucketed_pages_fetch_join(spark, fixture_paths, tmp_path):
+    """url-hash-bucketed pages layout: the fetch join prunes the scan to
+    the batch's bucket partitions (SPJ-style); crawl results identical."""
+    from pyspark.sql import functions as F
+
+    from crabspark.tables import bucketize_pages
+
+    bdir = str(tmp_path / "pages_bucketed")
+    bucketize_pages(spark, f"{fixture_paths}/pages.parquet", bdir, n_buckets=8)
+    cfg = cfg_with(free_crawl=True)
+    data = gen_pages.generate(n_pages=N_PAGES, seed=42)
+    golden = run_oracle(data["pages"], data["robots"], cfg)
+    eng = Engine(
+        spark, cfg, str(tmp_path / "bucketed"),
+        pages_path=bdir,
+        robots_path=f"{fixture_paths}/robots.parquet",
+    )
+    assert eng.pages_buckets == 8
+    # partition pruning is visible in the physical plan: the bucket
+    # filter lands in PartitionFilters, so only that partition's files
+    # are scanned
+    one = eng.pages.filter(F.col("bucket").isin([3])).select("url")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    eng.run()
+    vis = {r["url"]: r for r in eng.read_visited().collect()}
+    assert set(vis) == set(golden.visited)
+    for url, row in golden.visited.items():
+        assert vis[url]["is_blocked"] == row["is_blocked"], url
+        assert vis[url]["is_complete"] == row["is_complete"], url
+    seen = {r["url"] for r in eng.read_seen().collect()}
+    assert seen == golden.seen
