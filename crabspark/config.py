@@ -122,6 +122,16 @@ class Config:
     def __post_init__(self) -> None:
         if not self.seeds:
             self.seeds = [self.starting_url]
+        if self.fetch_join not in ("auto", "broadcast", "shuffle"):
+            raise ValueError(
+                f"fetch_join must be one of auto/broadcast/shuffle, "
+                f"got {self.fetch_join!r}"
+            )
+        if self.scheduling not in ("dfs-parity", "throughput"):
+            raise ValueError(
+                f"scheduling must be one of dfs-parity/throughput, "
+                f"got {self.scheduling!r}"
+            )
 
     @classmethod
     def new(cls, path: str = "") -> "Config":
@@ -160,4 +170,5 @@ class Config:
             setattr(cfg, key, value)
         if "seeds" not in raw and "starting_url" in raw:
             cfg.seeds = [cfg.starting_url]
+        cfg.__post_init__()  # re-validate rebuild-only enums after overlay
         return cfg

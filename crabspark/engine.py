@@ -112,6 +112,7 @@ class Engine:
         # engine falls back to presence-in-pages success semantics
         self.assets = spark.read.parquet(assets_path) if assets_path else None
         self._extract_page = udfs.extract_page_udf()
+        self._trim_body = udfs.trim_body_udf()
         self._resolve = udfs.resolve_full_udf(
             cfg.permitted_domains, cfg.blacklist_domains, cfg.free_crawl
         )
@@ -259,6 +260,9 @@ class Engine:
             frontier, trim, cfg.scheduling, cfg.per_host_quota,
             cfg.salt_buckets,
         ).localCheckpoint()
+        # the ranged cap trim persists a range-partitioned copy of the
+        # frontier; the batch is materialized now, so free those blocks
+        frontier_mod.release_temps()
         batch_n = batch.count()
         if batch_n == 0:
             return False
@@ -342,8 +346,9 @@ class Engine:
         else:
             ua_col = F.lit(cfg.user_agents[0] if cfg.user_agents else "")
         # C5: the reference stores body.trim() (src/http.rs:37) — trim
-        # ASCII whitespace at both ends of the stored body (fixture bodies
-        # are UTF-8 with ASCII padding; Spark's trim() only strips ' ')
+        # whitespace at both ends of the stored body. bytes.strip() inside
+        # a pandas UDF, NOT a CAST-to-STRING round trip: non-UTF-8 bodies
+        # must come back byte-identical apart from the trim.
         fetched = hits.select(
             F.col("p_canon").alias("url"),
             F.col("p_ser").alias("url_ser"),
@@ -351,12 +356,7 @@ class Engine:
             F.col("pg.text").alias("text"),
             ua_col.alias("ua"),
             *(
-                [
-                    F.expr(
-                        r"CAST(regexp_replace(CAST(html AS STRING),"
-                        r" '^\\s+|\\s+$', '') AS BINARY)"
-                    ).alias("html")
-                ]
+                [self._trim_body(F.col("html")).alias("html")]
                 if cfg.collect_html
                 else []
             ),

@@ -112,6 +112,24 @@ def select_batch(
 _RANGED_TRIM_MIN = 10_000
 
 
+# Materialized intermediates whose lifetime outlives top_k_by_priority: the
+# caller (Engine._round) unpersists them via release_temps() once the batch
+# itself is materialized, so ranged-trim blocks never accumulate across a
+# long cap-bound crawl waiting on the ContextCleaner.
+_TEMP_HANDLES: list[DataFrame] = []
+
+
+def release_temps() -> None:
+    """Unpersist every materialized intermediate registered by the ranged
+    cap trim. Safe to call any time after the selected batch has been
+    materialized (the engine localCheckpoints it)."""
+    while _TEMP_HANDLES:
+        try:
+            _TEMP_HANDLES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def top_k_by_priority(
     df: DataFrame, k: int, ranged_min: int = _RANGED_TRIM_MIN
 ) -> DataFrame:
@@ -122,18 +140,23 @@ def top_k_by_priority(
     the one boundary partition. Requires unique keys (engine priorities are
     unique by construction).
 
-    The range-partitioned copy is localCheckpoint'ed: RangePartitioner
-    samples its boundaries, so the counts job and the filter job must see
-    the SAME physical partitioning."""
+    The range-partitioned copy is persisted MEMORY_AND_DISK: RangePartitioner
+    samples its boundaries per execution, so the counts job and the filter
+    job must see the SAME physical partitioning — the disk-backed persist
+    guarantees no silent recompute (which could re-sample) and, unlike a
+    localCheckpoint, is released deterministically via release_temps()."""
     if k <= ranged_min:
         return df.orderBy("priority").limit(k)
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     parts = (
         df.repartitionByRange(n_parts, F.col("priority"))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _TEMP_HANDLES.append(parts)
     counts = sorted(
         (row["__pid"], row["cnt"])
         for row in parts.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

@@ -145,6 +145,37 @@ def build_host_rules(
     }
 
 
+# Executor-process-level LRU over parsed rules. After the broadcast
+# candidates⋈robots join, a popular host's multi-KB body recurs in most
+# ~512-row Arrow batches (candidates are NOT clustered by host); without a
+# cache it re-parses per batch. Keyed on (host, hash(body), ua set) so a
+# changed body or UA config never serves stale rules.
+from collections import OrderedDict  # noqa: E402
+
+_RULES_CACHE: "OrderedDict[tuple, HostRules]" = OrderedDict()
+_RULES_CACHE_MAX = 1024
+
+
+def cached_host_rules(
+    robots_by_host: dict[str, str], user_agents: list[str]
+) -> dict[str, HostRules]:
+    """Like ``build_host_rules`` but memoized per worker process."""
+    ua_key = tuple(user_agents)
+    out: dict[str, HostRules] = {}
+    for host, txt in robots_by_host.items():
+        key = (host, hash(txt), ua_key)
+        hr = _RULES_CACHE.get(key)
+        if hr is None:
+            hr = HostRules(txt, user_agents)
+            _RULES_CACHE[key] = hr
+            if len(_RULES_CACHE) > _RULES_CACHE_MAX:
+                _RULES_CACHE.popitem(last=False)
+        else:
+            _RULES_CACHE.move_to_end(key)
+        out[host] = hr
+    return out
+
+
 def blocked_mask(
     urls: pd.Series,
     hosts: pd.Series,

@@ -30,25 +30,53 @@ def build_zip(dest_dir: str | None = None) -> str:
         for f in sorted(os.listdir(pkg_dir))
         if f.endswith(".py")
     ]
+    contents = {}
     h = hashlib.sha1()
     for p in sources:
         with open(p, "rb") as f:
-            h.update(p.encode())
-            h.update(f.read())
+            data = f.read()
+        contents[f"crabspark/{os.path.basename(p)}"] = data
+        h.update(p.encode())
+        h.update(data)
     if dest_dir is None:
+        # Per-user, mode-0700 cache dir: the path is predictable from public
+        # sources, so on a shared host another user could pre-create it and
+        # plant a zip. Refuse to reuse anything we don't own, and re-verify
+        # the cached zip's contents against the source hash before trusting
+        # it; fall back to a private mkdtemp on any mismatch.
+        uid = os.getuid() if hasattr(os, "getuid") else 0
         dest_dir = os.path.join(
-            tempfile.gettempdir(), f"crabspark-ship-{h.hexdigest()[:12]}"
+            tempfile.gettempdir(),
+            f"crabspark-ship-{uid}-{h.hexdigest()[:12]}",
         )
-        os.makedirs(dest_dir, exist_ok=True)
+        try:
+            os.makedirs(dest_dir, mode=0o700, exist_ok=True)
+            st = os.stat(dest_dir)
+            if hasattr(os, "getuid") and st.st_uid != uid:
+                raise PermissionError("cache dir owned by another user")
+        except OSError:
+            dest_dir = tempfile.mkdtemp(prefix="crabspark-ship-")
     zip_path = os.path.join(dest_dir, "crabspark.zip")
-    if os.path.exists(zip_path):
+    if os.path.exists(zip_path) and _zip_matches(zip_path, contents):
         return zip_path
     tmp = zip_path + f".tmp-{os.getpid()}"
     with zipfile.ZipFile(tmp, "w") as zf:
-        for p in sources:
-            zf.write(p, f"crabspark/{os.path.basename(p)}")
+        for arcname, data in contents.items():
+            zf.writestr(arcname, data)
     os.replace(tmp, zip_path)
     return zip_path
+
+
+def _zip_matches(zip_path: str, contents: dict[str, bytes]) -> bool:
+    """True iff the cached zip holds exactly the expected member bytes."""
+    try:
+        with zipfile.ZipFile(zip_path) as zf:
+            names = zf.namelist()
+            if sorted(names) != sorted(contents):
+                return False
+            return all(zf.read(n) == contents[n] for n in names)
+    except (OSError, zipfile.BadZipFile, KeyError):
+        return False
 
 
 def ship_package(spark) -> None:

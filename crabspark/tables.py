@@ -42,12 +42,32 @@ class Catalog:
         self._pending: list[tuple[str, dict]] = []
         self._lock = threading.Lock()
 
+    # Manifest format version. Bump when a table schema or required extra
+    # changes incompatibly (v2: frontier.added_round, metrics.frontier_size,
+    # fetched.ua, extras.queued_seeds / frontier_folded_round). Resuming a
+    # workdir written by an older format fails HERE with a clear message
+    # instead of mid-round with a missing-column AnalysisException.
+    FORMAT_VERSION = 2
+
     # --- manifest ---
     def _load(self) -> dict:
         if os.path.exists(self._manifest_path):
             with open(self._manifest_path) as f:
-                return json.load(f)
-        return {"tables": {}, "committed_round": -1, "extras": {}}
+                state = json.load(f)
+            found = state.get("format_version", 1)
+            if found != self.FORMAT_VERSION:
+                raise RuntimeError(
+                    f"workdir {self.root} has catalog format v{found}, this "
+                    f"build reads v{self.FORMAT_VERSION}; re-crawl into a "
+                    f"fresh workdir (no automatic migration)"
+                )
+            return state
+        return {
+            "tables": {},
+            "committed_round": -1,
+            "extras": {},
+            "format_version": self.FORMAT_VERSION,
+        }
 
     def _persist(self) -> None:
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
@@ -76,6 +96,31 @@ class Catalog:
 
     def append(self, name: str, df: DataFrame, rnd: int) -> None:
         self._write_delta(name, df, "append", rnd)
+
+    def append_local(self, name: str, table, rnd: int) -> None:
+        """Stage a driver-local pyarrow Table as a delta WITHOUT a Spark
+        job. The per-round metrics rows are O(partitions) driver data; a
+        full Spark write job for them is pure fixed floor (each job costs
+        scheduling + task launch regardless of size). Spark reads the
+        resulting file alongside directory deltas transparently."""
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            tbl = self.state["tables"].setdefault(name, {"deltas": []})
+            seq = len(tbl["deltas"]) + sum(
+                1 for n, _ in self._pending if n == name
+            )
+            rel = f"{name}/local-{rnd:06d}-{seq:06d}.parquet"
+            entry = (name, {"path": rel, "mode": "append", "round": rnd})
+            self._pending.append(entry)
+        try:
+            path = os.path.join(self.root, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(table, path)
+        except Exception:
+            with self._lock:
+                self._pending.remove(entry)
+            raise
 
     def overwrite(self, name: str, df: DataFrame, rnd: int) -> None:
         """Logical overwrite: later reads see only deltas from this one on."""

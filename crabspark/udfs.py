@@ -96,7 +96,9 @@ def blocked_join_udf(user_agents: list[str], respect_robots: bool):
     def _blocked(
         ser: pd.Series, host: pd.Series, robots_txt: pd.Series
     ) -> pd.Series:
-        rules = robots.build_host_rules(
+        # cached_host_rules: a mega-host's body parses once per worker
+        # process, not once per Arrow batch (post-join batches mix hosts)
+        rules = robots.cached_host_rules(
             {
                 h: t
                 for h, t in zip(host, robots_txt)
@@ -107,6 +109,19 @@ def blocked_join_udf(user_agents: list[str], respect_robots: bool):
         return robots.blocked_mask(ser, host, rules, respect_robots)
 
     return _blocked
+
+
+def trim_body_udf():
+    """C5 body trim without a UTF-8 round trip: ``bytes.strip()`` on the
+    raw body (reference stores body.trim(), src/http.rs:37). A CAST to
+    STRING and back would replace invalid UTF-8 bytes with U+FFFD,
+    corrupting non-UTF-8 page bodies beyond the intended whitespace trim."""
+
+    @F.pandas_udf("binary")
+    def _trim(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: None if b is None else bytes(b).strip())
+
+    return _trim
 
 
 def image_name_udf():

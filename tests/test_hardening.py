@@ -1,0 +1,144 @@
+"""Hardening fixes from the round-2 advisor review:
+
+- config enum validation (a typo'd fetch_join must error, not silently
+  fall into the shuffle branch);
+- catalog manifest format-version gate (resuming an old-format workdir
+  fails fast with a clear message, not mid-round);
+- ship-zip cache poisoning resistance (a pre-planted zip at the predictable
+  cache path must be rebuilt, not trusted);
+- byte-safe html trim (non-UTF-8 bodies survive collect_html unchanged
+  apart from the whitespace trim);
+- executor robots-rule LRU returns identical verdicts to the uncached
+  parse.
+"""
+
+import json
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+
+from crabspark import robots
+from crabspark.config import Config
+from crabspark.tables import Catalog
+
+
+def test_fetch_join_typo_raises():
+    with pytest.raises(ValueError, match="fetch_join"):
+        Config(fetch_join="bcast")
+    with pytest.raises(ValueError, match="fetch_join"):
+        Config(fetch_join="Broadcast")
+    for ok in ("auto", "broadcast", "shuffle"):
+        assert Config(fetch_join=ok).fetch_join == ok
+
+
+def test_scheduling_typo_raises():
+    with pytest.raises(ValueError, match="scheduling"):
+        Config(scheduling="bfs")
+
+
+def test_config_overlay_revalidates(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"fetch_join": "bcast"}))
+    with pytest.raises(ValueError, match="fetch_join"):
+        Config.new(str(p))
+
+
+def test_catalog_rejects_old_format(tmp_path, request):
+    spark = None  # Catalog._load runs before any Spark use
+    root = tmp_path / "wd"
+    root.mkdir()
+    (root / "_manifest.json").write_text(
+        json.dumps({"tables": {}, "committed_round": 3, "extras": {}})
+    )
+    with pytest.raises(RuntimeError, match="format v1"):
+        Catalog(str(root), spark)
+
+
+def test_catalog_roundtrips_format_version(tmp_path):
+    c = Catalog(str(tmp_path / "wd"), None)
+    c.commit(0)
+    c2 = Catalog(str(tmp_path / "wd"), None)
+    assert c2.committed_round == 0
+
+
+def test_ship_zip_rejects_planted_cache(tmp_path, monkeypatch):
+    """A pre-existing zip at the predictable cache path whose contents do
+    not match the package sources must be rebuilt, never returned."""
+    import crabspark.shipping as shipping
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path), raising=True
+    )
+    # first build learns the real path; then poison it
+    real = shipping.build_zip()
+    with zipfile.ZipFile(real, "w") as zf:
+        zf.writestr("crabspark/__init__.py", b"import os  # evil payload")
+    rebuilt = shipping.build_zip()
+    with zipfile.ZipFile(rebuilt) as zf:
+        data = zf.read("crabspark/__init__.py")
+    assert b"evil payload" not in data
+    # and the rebuilt zip round-trips the real package sources
+    import crabspark
+
+    with open(os.path.join(os.path.dirname(crabspark.__file__), "__init__.py"), "rb") as f:
+        assert data == f.read()
+
+
+def test_ship_cache_dir_is_private(tmp_path, monkeypatch):
+    import crabspark.shipping as shipping
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path), raising=True
+    )
+    zip_path = shipping.build_zip()
+    mode = os.stat(os.path.dirname(zip_path)).st_mode & 0o777
+    assert mode == 0o700
+
+
+def test_robots_lru_matches_uncached():
+    body = "User-agent: *\nDisallow: /private\nAllow: /private/open\n"
+    uas = ["Mozilla/5.0 test"]
+    robots._RULES_CACHE.clear()
+    cached = robots.cached_host_rules({"h.org": body}, uas)
+    plain = robots.build_host_rules({"h.org": body}, uas)
+    urls = pd.Series(
+        [
+            "https://h.org/private/x",
+            "https://h.org/private/open/y",
+            "https://h.org/ok",
+        ]
+    )
+    hosts = pd.Series(["h.org"] * 3)
+    assert robots.blocked_mask(urls, hosts, cached).tolist() == \
+        robots.blocked_mask(urls, hosts, plain).tolist() == [True, False, False]
+    # second call is a cache hit returning the SAME parsed object
+    again = robots.cached_host_rules({"h.org": body}, uas)
+    assert again["h.org"] is cached["h.org"]
+    # a changed body must not serve stale rules
+    changed = robots.cached_host_rules({"h.org": "User-agent: *\nDisallow:\n"}, uas)
+    assert changed["h.org"] is not cached["h.org"]
+
+
+def test_robots_lru_evicts():
+    robots._RULES_CACHE.clear()
+    uas = ["Mozilla/5.0"]
+    for i in range(robots._RULES_CACHE_MAX + 10):
+        robots.cached_host_rules({f"h{i}.org": "User-agent: *\nDisallow: /x\n"}, uas)
+    assert len(robots._RULES_CACHE) <= robots._RULES_CACHE_MAX
+
+
+def test_trim_preserves_non_utf8_bytes():
+    """collect_html stores body.strip() byte-identically: invalid UTF-8
+    must not be replaced with U+FFFD by a string round trip."""
+    from crabspark import udfs
+    from crabspark.shipping import ship_package
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    ship_package(spark)
+    raw = b"  \x80\xffbinary\x00junk\xfe \r\n"
+    df = spark.createDataFrame([(bytearray(raw),)], "html binary")
+    out = df.select(udfs.trim_body_udf()(df.html).alias("t")).collect()
+    assert bytes(out[0]["t"]) == raw.strip()
