@@ -112,6 +112,12 @@ class Config:
     # fold the adds-only frontier (physically drop visited rows) once the
     # delta chain grows past this many files — amortized O(live) rewrite
     frontier_fold_deltas: int = 16
+    # > 0 stores the frontier as a host-bucketed Spark table (CLUSTERED BY
+    # host SORTED BY host, priority): the politeness rank then runs with NO
+    # shuffle Exchange — the scan reports hash-partitioning on host. The
+    # scale path for 10^10-row frontiers; 0 keeps the plain delta-chain
+    # layout (any Spark session, no session-catalog tables).
+    frontier_buckets: int = 0
     # Arrow batch rows for the pandas-UDF stages. html blobs are multi-KB,
     # so Spark's default 10k-row batches balloon to 100+ MB of Python-side
     # objects per concurrent worker; with 32 workers the extract stage

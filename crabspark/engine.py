@@ -92,6 +92,15 @@ class Engine:
             str(cfg.arrow_max_records_per_batch),
         )
         self.catalog = Catalog(workdir, spark)
+        # host-bucketed frontier layout (cfg.frontier_buckets > 0): the
+        # politeness rank runs shuffle-free over the bucketed scan
+        self.bucketed_frontier = None
+        if cfg.frontier_buckets:
+            from crabspark.tables import BucketedFrontier
+
+            self.bucketed_frontier = BucketedFrontier(
+                self.catalog, cfg.frontier_buckets
+            )
         self.pages = spark.read.parquet(pages_path)
         # url-hash-bucketed pages layout (tables.bucketize_pages): the
         # fetch join prunes the scan to the batch's bucket partitions
@@ -169,6 +178,83 @@ class Engine:
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _job_counter(self) -> int:
+        """Monotone count of Spark jobs submitted so far — the per-round
+        delta is the fixed-floor metric the scaling protocol tracks (each
+        job costs ~0.1-1s of scheduling regardless of data size)."""
+        try:
+            return int(
+                self.spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+            )
+        except Exception:
+            return 0
+
+    def _stage_metrics_local(
+        self, r, part_stats, fetch_parts, stats, batch_n, fetched_n,
+        new_total, new_frontier_size, t0,
+    ) -> None:
+        """Stage the per-round metrics tables as driver-local pyarrow
+        parquet — O(partitions) rows, zero Spark jobs. Schemas mirror the
+        Spark DDL the tables were defined with (int = int32, long = int64)
+        so delta scans union cleanly with Spark-written compactions."""
+        import pyarrow as pa
+
+        mp_schema = pa.schema(
+            [
+                ("round", pa.int32()), ("stage", pa.string()),
+                ("partition_id", pa.int32()), ("rows", pa.int64()),
+                ("blocked", pa.int64()), ("children", pa.int64()),
+            ]
+        )
+        mp_rows = [
+            {
+                "round": r, "stage": "extract",
+                "partition_id": int(row["partition_id"]),
+                "rows": int(row["cand_n"] or 0),
+                "blocked": int(row["blocked_n"] or 0),
+                "children": int(row["child_n"] or 0),
+            }
+            for row in part_stats
+        ] + [
+            {
+                "round": r, "stage": "fetch",
+                "partition_id": int(row["partition_id"]),
+                "rows": int(row["fetched_n"] or 0),
+                "blocked": 0, "children": 0,
+            }
+            for row in fetch_parts
+        ]
+        self.catalog.append_local(
+            "metrics_partitions",
+            pa.Table.from_pylist(mp_rows, schema=mp_schema),
+            r,
+        )
+        m_schema = pa.schema(
+            [
+                ("round", pa.int32()), ("batch_n", pa.int64()),
+                ("fetched_n", pa.int64()), ("failed_n", pa.int64()),
+                ("cand_n", pa.int64()), ("blocked_n", pa.int64()),
+                ("completed_dropped_n", pa.int64()), ("child_n", pa.int64()),
+                ("img_n", pa.int64()), ("total_visited", pa.int64()),
+                ("frontier_size", pa.int64()), ("wall_s", pa.float64()),
+            ]
+        )
+        m_row = {
+            "round": r, "batch_n": batch_n, "fetched_n": fetched_n,
+            "failed_n": batch_n - fetched_n, "cand_n": stats["cand_n"],
+            "blocked_n": stats["blocked_n"],
+            "completed_dropped_n": stats["completed_dropped_n"],
+            "child_n": stats["child_n"], "img_n": stats["img_n"],
+            "total_visited": new_total,
+            "frontier_size": (
+                -1 if new_frontier_size is None else new_frontier_size
+            ),
+            "wall_s": float(time.monotonic() - t0),
+        }
+        self.catalog.append_local(
+            "metrics", pa.Table.from_pylist([m_row], schema=m_schema), r
+        )
+
     def _init_frontier(self) -> None:
         rows = []
         seeds = pd.Series(self.cfg.seeds, dtype=object)
@@ -187,11 +273,11 @@ class Engine:
                     frontier_mod.seed_priority(i), 0, self.round - 1,
                 )
             )
-        self.catalog.overwrite(
-            "frontier",
-            self.spark.createDataFrame(rows, FRONTIER_SCHEMA),
-            self.round,
-        )
+        seeds_df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        if self.bucketed_frontier is not None:
+            self.bucketed_frontier.replace(seeds_df, self.round - 1)
+        else:
+            self.catalog.overwrite("frontier", seeds_df, self.round)
         self.frontier_size = len(rows)
         self._queued_seeds = set(seen_canons)
 
@@ -201,7 +287,12 @@ class Engine:
         the whole-crawl timeout elapses (the reference's watchdog,
         src/main.rs:82-98 — except we stop cleanly at a round boundary
         with everything committed, instead of dropping the thread)."""
-        if not self.catalog.exists("frontier"):
+        frontier_exists = (
+            self.bucketed_frontier.exists()
+            if self.bucketed_frontier is not None
+            else self.catalog.exists("frontier")
+        )
+        if not frontier_exists:
             self._init_frontier()
             self.catalog.commit(
                 self.round - 1,
@@ -241,7 +332,7 @@ class Engine:
         r = self.round
         t0 = time.monotonic()
         cfg = self.cfg
-        queued_seeds_before = set(self._queued_seeds)
+        jobs0 = self._job_counter()
         ops = self.catalog.read("visited_ops")
         frontier = self._live_frontier(ops)
         if frontier is None:
@@ -253,17 +344,51 @@ class Engine:
             self.frontier_size is None or remaining < self.frontier_size
         ) else None
         # localCheckpoint: materializes the (small) batch once and cuts
-        # lineage — every downstream job (fetch join, visit rows, seed
-        # guard) reuses the materialized rows instead of re-running the
-        # frontier rank
-        batch = frontier_mod.select_batch(
-            frontier, trim, cfg.scheduling, cfg.per_host_quota,
-            cfg.salt_buckets,
-        ).localCheckpoint()
+        # lineage — every downstream job (fetch join, visit rows) reuses the
+        # materialized rows instead of re-running the frontier rank. The
+        # checkpoint job CARRIES this round's batch-side scalars as observed
+        # metrics (count, fetch-join bucket ids, queued-seed hits) — zero
+        # extra jobs for any of them.
+        from pyspark.sql import Observation
+
+        batch_obs = Observation(f"batch-{r}")
+        obs_exprs = [F.count(F.lit(1)).alias("n")]
+        if self.pages_buckets:
+            obs_exprs.append(
+                F.collect_set(
+                    F.pmod(F.xxhash64("url"), F.lit(self.pages_buckets))
+                    .cast("int")
+                ).alias("buckets")
+            )
+        if self._queued_seeds:
+            obs_exprs.append(
+                F.collect_set(
+                    F.when(
+                        F.col("canon").isin(sorted(self._queued_seeds)),
+                        F.col("canon"),
+                    )
+                ).alias("visited_seeds")
+            )
+        # under the host-bucketed layout, same-host rows are already
+        # co-located: the salt pre-rank would only reintroduce the shuffle
+        # the bucketing removed, so the quota rank runs directly
+        salt = 1 if self.bucketed_frontier is not None else cfg.salt_buckets
+        batch = (
+            frontier_mod.select_batch(
+                frontier, trim, cfg.scheduling, cfg.per_host_quota,
+                salt,
+            )
+            .observe(batch_obs, *obs_exprs)
+            .localCheckpoint()
+        )
         # the ranged cap trim persists a range-partitioned copy of the
         # frontier; the batch is materialized now, so free those blocks
         frontier_mod.release_temps()
-        batch_n = batch.count()
+        bstats = batch_obs.get
+        batch_n = int(bstats["n"])
+        # seeds visited this round leave the queued set; applied to
+        # self._queued_seeds only at commit time (failure restores cleanly)
+        queued_now = self._queued_seeds - set(bstats.get("visited_seeds") or [])
         if batch_n == 0:
             return False
         t_batch = time.monotonic()
@@ -296,20 +421,14 @@ class Engine:
             else (lambda d: d.hint("shuffle_hash"))
         )
         # SPJ-style bucket pruning: with a url-bucketed pages layout, scan
-        # only the partitions the batch can hit (<= n_buckets ids collected
-        # — O(buckets) driver state, never O(rows)). A small batch then
-        # reads a small fraction of the 100-TB table; a huge batch's
-        # shuffle-hash join runs over pruned input.
+        # only the partitions the batch can hit (<= n_buckets ids, observed
+        # for free on the batch-checkpoint job — O(buckets) driver state,
+        # never O(rows)). A small batch then reads a small fraction of the
+        # 100-TB table; a huge batch's shuffle-hash join runs over pruned
+        # input.
         pages_src = self.pages
         if self.pages_buckets:
-            bids = [
-                row["b"]
-                for row in batch.select(
-                    F.pmod(
-                        F.xxhash64("url"), F.lit(self.pages_buckets)
-                    ).cast("int").alias("b")
-                ).distinct().collect()
-            ]
+            bids = [int(b) for b in (bstats.get("buckets") or [])]
             pages_src = self.pages.filter(F.col("bucket").isin(bids))
         hits = (
             pages_src.select("url", "html")
@@ -447,10 +566,96 @@ class Engine:
         else:
             judged = unseen.withColumn("blocked", F.lit(False)).cache()
 
-        # materialize the judged cache once (a single cheap count) so every
-        # concurrent consumer below reads the cache instead of racing to
-        # fill it with duplicate UDF work
-        judged.count()
+        # ONE job runs the whole fetch/extract/judge pipeline AND returns
+        # every per-round scalar and per-partition lineage stat: a union of
+        # per-partition aggregates over `judged` (extract stage) and `hits`
+        # (fetch stage). Materializing the judged branch fills BOTH caches
+        # (judged's plan passes through the hits cache node), so the
+        # concurrent table writes below read cached data. This replaces the
+        # former judged.count() + two stats collects + seed-requeue collect
+        # — four jobs folded into one.
+        child_ok = (
+            (F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")
+        )
+        img_ok = (
+            (F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")
+        )
+        child_ok_depth = child_ok if cfg.max_depth is None else (
+            child_ok & (F.col("p_depth") + 1 <= F.lit(cfg.max_depth))
+        )
+        agg_exprs = [
+            F.count("*").alias("cand_n"),
+            F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
+            F.sum(F.col("is_completed").cast("int")).alias(
+                "completed_dropped_n"
+            ),
+            F.sum(child_ok.cast("int")).alias("child_n"),
+            F.sum(img_ok.cast("int")).alias("img_n"),
+        ]
+        # seeds rediscovered as children re-enter the queued-seed set; every
+        # other canon is already seen (anti-joined), so only seeds need this
+        if self._all_seed_canons:
+            agg_exprs.append(
+                F.collect_set(
+                    F.when(
+                        child_ok_depth
+                        & F.col("canon").isin(sorted(self._all_seed_canons)),
+                        F.col("canon"),
+                    )
+                ).alias("seed_canons")
+            )
+        # the no-assets image join prunes the pages scan to the image
+        # candidates' buckets — ids ride this same job
+        need_img_buckets = (
+            cfg.collect_images
+            and self.assets is None
+            and bool(self.pages_buckets)
+        )
+        if need_img_buckets:
+            agg_exprs.append(
+                F.collect_set(
+                    F.when(
+                        img_ok,
+                        F.pmod(
+                            F.xxhash64("ser"), F.lit(self.pages_buckets)
+                        ).cast("int"),
+                    )
+                ).alias("img_buckets")
+            )
+        jstats = (
+            judged.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(*agg_exprs)
+            .withColumn("stage", F.lit("extract"))
+        )
+        fstats = (
+            hits.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("fetched_n"))
+            .withColumn("stage", F.lit("fetch"))
+        )
+        stat_rows = jstats.unionByName(
+            fstats, allowMissingColumns=True
+        ).collect()
+        part_stats = [row for row in stat_rows if row["stage"] == "extract"]
+        fetch_parts = [row for row in stat_rows if row["stage"] == "fetch"]
+
+        def _tot(rows, col):
+            return int(sum((row[col] or 0) for row in rows))
+
+        stats = {
+            c: _tot(part_stats, c)
+            for c in ("cand_n", "blocked_n", "completed_dropped_n",
+                      "child_n", "img_n")
+        }
+        fetched_n = _tot(fetch_parts, "fetched_n")
+        requeued: set[str] = set()
+        if self._all_seed_canons:
+            for row in part_stats:
+                requeued.update(row["seed_canons"] or [])
+        img_bids = None
+        if need_img_buckets:
+            img_bids = sorted(
+                {int(b) for row in part_stats for b in (row["img_buckets"] or [])}
+            )
         t_judged = time.monotonic()
 
         # --- seen deltas: every observed survivor enters seen (Q6) ---
@@ -510,10 +715,30 @@ class Engine:
                     )
                 )
             else:
+                # presence-in-pages fallback mirrors the fetch join: prune
+                # the pages scan to the image candidates' buckets (ids rode
+                # the stats job) and size the join mode from the IMAGE
+                # candidate count, not the batch count
+                img_pages = self.pages
+                if img_bids is not None:
+                    img_pages = img_pages.filter(
+                        F.col("bucket").isin(img_bids)
+                    )
+                img_join_mode = cfg.fetch_join
+                if img_join_mode == "auto":
+                    img_join_mode = (
+                        "broadcast"
+                        if stats["img_n"] <= cfg.fetch_broadcast_limit
+                        else "shuffle"
+                    )
+                img_small_side = (
+                    F.broadcast if img_join_mode == "broadcast"
+                    else (lambda d: d.hint("shuffle_hash"))
+                )
                 img_hit = (
-                    self.pages.select(F.col("url").alias("url_ser"))
+                    img_pages.select(F.col("url").alias("url_ser"))
                     .join(
-                        small_side(img_rows.select("url_ser")),
+                        img_small_side(img_rows.select("url_ser")),
                         "url_ser", "inner",
                     )
                     .withColumn("success", F.lit(True))
@@ -551,158 +776,109 @@ class Engine:
         # a canon already queued must not be queued twice: only SEEDS can
         # hit this (every other frontier row is in the seen set, which the
         # candidates were anti-joined against). The queued-seed set lives on
-        # the driver (<= |seeds| entries), so the guard is two tiny jobs on
-        # cached data instead of an O(frontier) anti-join + full rewrite.
-        if self._queued_seeds:
-            visited_seeds = {
-                row["canon"]
-                for row in batch.filter(
-                    F.col("canon").isin(sorted(self._queued_seeds))
-                ).select("canon").collect()
-            }
-            self._queued_seeds -= visited_seeds
-        if self._queued_seeds:
+        # the driver (<= |seeds| entries) and both its inputs rode earlier
+        # jobs for free: seeds visited this round came off the batch
+        # observation (queued_now), seeds re-discovered as children came off
+        # the stats aggregate (requeued) — zero dedicated jobs. requeued is
+        # computed pre-filter, which is equivalent: a canon still in
+        # queued_now is already in the set, so the union is a no-op for it.
+        if queued_now:
             new_rows = new_rows.filter(
-                ~F.col("canon").isin(sorted(self._queued_seeds))
+                ~F.col("canon").isin(sorted(queued_now))
             )
-        if self._all_seed_canons:
-            requeued = {
-                row["canon"]
-                for row in new_rows.filter(
-                    F.col("canon").isin(sorted(self._all_seed_canons))
-                ).select("canon").distinct().collect()
-            }
-            self._queued_seeds |= requeued
+        queued_after = queued_now | requeued
 
         # --- every remaining per-round output reads only the materialized
         # caches, so the table writes + bloom update run CONCURRENTLY
         # (independent Spark jobs share idle task slots; the catalog stages
-        # deltas under a lock and nothing publishes until commit) ---
+        # deltas under a lock and nothing publishes until commit). The
+        # counts from the stats job let drain rounds SKIP empty-side write
+        # jobs entirely — a round with no images launches no images job ---
         bloom_path = os.path.join(self.catalog.root, f"bloom-{r:06d}.npy")
 
         def _bloom_task():
             self.bloom.add_dataframe(new_seen, sha1_col="sha1")
             self.bloom.save(bloom_path)
 
-        def _stats_task():
-            # per-partition lineage metrics (north rule), extract stage
-            return judged.groupBy(
-                F.spark_partition_id().alias("partition_id")
-            ).agg(
-                F.count("*").alias("cand_n"),
-                F.sum(F.col("blocked").cast("int")).alias("blocked_n"),
-                F.sum(F.col("is_completed").cast("int")).alias("completed_dropped_n"),
-                F.sum(((F.col("kind") == 0) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("child_n"),
-                F.sum(((F.col("kind") == 1) & ~F.col("blocked") & ~F.col("is_completed")).cast("int")).alias("img_n"),
-            ).collect()
-
-        def _fetch_stats_task():
-            return hits.groupBy(
-                F.spark_partition_id().alias("partition_id")
-            ).agg(F.count("*").alias("fetched_n")).collect()
-
         tasks = [
-            lambda: self.catalog.append("fetched", fetched, r),
             lambda: self.catalog.append(
                 "visited_ops", visits.unionByName(block_ops), r
             ),
-            lambda: self.catalog.append("seen", new_seen, r),
-            lambda: self.catalog.append("edges", edges, r),
+        ]
+        if fetched_n > 0:
+            tasks.append(lambda: self.catalog.append("fetched", fetched, r))
+        wrote_bloom = False
+        if stats["cand_n"] > 0:
+            tasks.append(lambda: self.catalog.append("seen", new_seen, r))
+            tasks.append(_bloom_task)
+            wrote_bloom = True
+        if stats["child_n"] > 0:
+            tasks.append(lambda: self.catalog.append("edges", edges, r))
             # frontier is adds-only: O(children) written per round; visited
             # rows are masked at read time and physically dropped by the
             # periodic fold (never an O(frontier) rewrite per round)
-            lambda: self.catalog.append("frontier", new_rows, r),
-            _bloom_task,
-        ]
-        if img_rows is not None:
+            if self.bucketed_frontier is not None:
+                tasks.append(
+                    lambda: self.bucketed_frontier.insert(new_rows, r)
+                )
+            else:
+                tasks.append(
+                    lambda: self.catalog.append("frontier", new_rows, r)
+                )
+        if img_rows is not None and stats["img_n"] > 0:
             tasks.append(lambda: self.catalog.append("images", img_rows, r))
+
+        new_total = self.total_visited + batch_n
+        new_frontier_size = self.frontier_size
+        if new_frontier_size is not None:
+            # children all enter the frontier; batch rows leave it. Depth-
+            # filtered children make this an overestimate (safe: trims more).
+            new_frontier_size = max(
+                0, new_frontier_size - batch_n + stats["child_n"]
+            )
+
         # Everything from here to commit() stages deltas; a failure anywhere
         # must drop ALL staged deltas (not just the failing task's own) or a
         # later commit on this Catalog would publish a half-round, breaking
         # the atomic-round invariant that crash recovery relies on.
         try:
-            with ThreadPoolExecutor(max_workers=len(tasks) + 2) as pool:
-                stats_f = pool.submit(_stats_task)
-                fetch_f = pool.submit(_fetch_stats_task)
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
                 futures = [pool.submit(t) for t in tasks]
+                # metrics rows are O(partitions) driver-local data: stage
+                # them as pyarrow parquet with ZERO Spark jobs (a Spark
+                # write job for 40 rows is pure fixed floor)
+                self._stage_metrics_local(
+                    r, part_stats, fetch_parts, stats, batch_n, fetched_n,
+                    new_total, new_frontier_size, t0,
+                )
                 for f in futures:
                     f.result()  # re-raise any failure before commit
-                part_stats = stats_f.result()
-                fetch_parts = fetch_f.result()
-
-            def _tot(rows, col):
-                return int(sum(row[col] or 0 for row in rows))
-
-            stats = {
-                c: _tot(part_stats, c)
-                for c in ("cand_n", "blocked_n", "completed_dropped_n",
-                          "child_n", "img_n")
-            }
-            fetched_n = _tot(fetch_parts, "fetched_n")
-            part_rows = [
-                (r, "extract", int(row["partition_id"]), int(row["cand_n"] or 0),
-                 int(row["blocked_n"] or 0), int(row["child_n"] or 0))
-                for row in part_stats
-            ] + [
-                (r, "fetch", int(row["partition_id"]), int(row["fetched_n"] or 0),
-                 0, 0)
-                for row in fetch_parts
-            ]
-            self.catalog.append(
-                "metrics_partitions",
-                self.spark.createDataFrame(
-                    part_rows,
-                    "round int, stage string, partition_id int, rows long, "
-                    "blocked long, children long",
-                ),
-                r,
-            )
-
-            new_total = self.total_visited + batch_n
-            new_frontier_size = self.frontier_size
-            if new_frontier_size is not None:
-                # children all enter the frontier; batch rows leave it. Depth-
-                # filtered children make this an overestimate (safe: trims more).
-                new_frontier_size = max(
-                    0, new_frontier_size - batch_n + stats["child_n"]
-                )
-            metrics = self.spark.createDataFrame(
-                [
-                    (
-                        r, batch_n, fetched_n, batch_n - fetched_n,
-                        stats["cand_n"], stats["blocked_n"],
-                        stats["completed_dropped_n"],
-                        stats["child_n"], stats["img_n"],
-                        new_total,
-                        -1 if new_frontier_size is None else new_frontier_size,
-                        float(time.monotonic() - t0),
-                    )
-                ],
-                "round int, batch_n long, fetched_n long, failed_n long, cand_n long, "
-                "blocked_n long, completed_dropped_n long, child_n long, img_n long, "
-                "total_visited long, frontier_size long, wall_s double",
-            )
-            self.catalog.append("metrics", metrics, r)
             self.catalog.commit(
                 r,
                 {
                     "total_visited": new_total,
-                    "bloom": bloom_path,
                     "frontier_size": new_frontier_size,
-                    "queued_seeds": sorted(self._queued_seeds),
+                    "queued_seeds": sorted(queued_after),
+                    # an all-miss round leaves the bloom (and its snapshot
+                    # pointer) unchanged
+                    **({"bloom": bloom_path} if wrote_bloom else {}),
                 },
             )
         except BaseException:
+            if self.bucketed_frontier is not None:
+                self.bucketed_frontier.rollback()
             self.catalog.abort()
-            self._queued_seeds = queued_seeds_before
             raise
         finally:
             hits.unpersist()
             judged.unpersist()
+        if self.bucketed_frontier is not None:
+            self.bucketed_frontier.finish_round()
         # driver counters advance only after a successful commit, so a caller
         # that catches a failed round and retries sees pre-round state
         self.total_visited = new_total
         self.frontier_size = new_frontier_size
+        self._queued_seeds = queued_after
         self._debug_log(
             f"round {r}: visited {batch_n}, fetched {fetched_n}, "
             f"candidates {stats['cand_n']}, blocked {stats['blocked_n']}, "
@@ -710,19 +886,37 @@ class Engine:
             f"frontier ~{new_frontier_size}, "
             f"{time.monotonic() - t0:.1f}s "
             f"(select {t_batch - t0:.1f} / pipeline {t_judged - t_batch:.1f}"
-            f" / write+commit {time.monotonic() - t_judged:.1f})"
+            f" / write+commit {time.monotonic() - t_judged:.1f}, "
+            f"jobs {self._job_counter() - jobs0})"
         )
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
             if self.catalog.delta_count(t) > 16:
                 self.catalog.compact(t, r)
-        if self.catalog.delta_count("frontier") > self.cfg.frontier_fold_deltas:
+        if self.bucketed_frontier is not None:
+            lc = int(self.catalog.extra("frontier_folded_round", -1))
+            if r - lc > self.cfg.frontier_fold_deltas:
+                self._fold_frontier(r)
+        elif (
+            self.catalog.delta_count("frontier")
+            > self.cfg.frontier_fold_deltas
+        ):
             self._fold_frontier(r)
-        # disk GC: bloom snapshots older than the previous round
-        old_bloom = os.path.join(self.catalog.root, f"bloom-{r - 2:06d}.npy")
-        if r >= 2 and os.path.exists(old_bloom):
-            os.remove(old_bloom)
+        # disk GC: bloom snapshots strictly older than the one the manifest
+        # references (rounds may skip bloom writes, so "r - 2" is not safe)
+        ref_bloom = self.catalog.extra("bloom")
+        if ref_bloom:
+            import glob as _glob
+
+            for p in _glob.glob(
+                os.path.join(self.catalog.root, "bloom-*.npy")
+            ):
+                if p < ref_bloom:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         self.round = r + 1
         return True
 
@@ -734,13 +928,34 @@ class Engine:
         visits happen at the start and discovery at the end, so a canon
         visited in round r and re-discovered in round r is queued again.
         Visits at or before the last fold are already applied physically,
-        so the mask join scans only the visits of the last few rounds."""
+        so the mask join scans only the visits of the last few rounds.
+
+        Bucketed layout: the mask is a BROADCAST left-anti join (the visits
+        side is bounded by fold-period × batch size), which PRESERVES the
+        scan's hash-partitioning on host — the politeness window then needs
+        no Exchange. ``EXISTS visit with round > added_round`` is exactly
+        the ``max(visit round) <= added_round`` liveness predicate."""
+        lc = int(self.catalog.extra("frontier_folded_round", -1))
+        if self.bucketed_frontier is not None:
+            adds = self.bucketed_frontier.read()
+            if adds is None:
+                return None
+            if ops is None:
+                return adds
+            visits = ops.filter(
+                (F.col("op") == "visit") & (F.col("round") > lc)
+            ).select("url", "round")
+            return adds.join(
+                F.broadcast(visits),
+                (adds["canon"] == visits["url"])
+                & (visits["round"] > adds["added_round"]),
+                "left_anti",
+            )
         adds = self.catalog.read("frontier")
         if adds is None:
             return None
         if ops is None:
             return adds
-        lc = int(self.catalog.extra("frontier_folded_round", -1))
         vmax = (
             ops.filter((F.col("op") == "visit") & (F.col("round") > lc))
             .groupBy("url")
@@ -764,9 +979,17 @@ class Engine:
         live = self._live_frontier(self.catalog.read("visited_ops"))
         if live is None:
             return
-        self.catalog.overwrite("frontier", live, r)
-        self.catalog.commit(r, {"frontier_folded_round": r})
-        self.catalog.gc_superseded("frontier")
+        if self.bucketed_frontier is not None:
+            # added_round values are preserved, so the committed-round read
+            # mask stays valid; a crash mid-swap rolls forward from the
+            # intent, and an uncommitted folded_round extra only widens the
+            # (idempotent) visit mask
+            self.bucketed_frontier.replace(live, r)
+            self.catalog.commit(r, {"frontier_folded_round": r})
+        else:
+            self.catalog.overwrite("frontier", live, r)
+            self.catalog.commit(r, {"frontier_folded_round": r})
+            self.catalog.gc_superseded("frontier")
 
     # ------------------------------------------------------------------
     def finalize(self) -> None:

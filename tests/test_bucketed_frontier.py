@@ -1,0 +1,214 @@
+"""Host-bucketed frontier layout (the 10^10-scale scheduling path).
+
+The frontier adds live in a Spark bucketed table (CLUSTERED BY host
+SORTED BY host, priority), so the per-round politeness rank needs NO
+shuffle Exchange: the scan reports hash-partitioning on host, the
+broadcast live-mask anti-join preserves it, and the window's required
+distribution is already satisfied. Checked here:
+
+- crawl parity: bucketed and delta-chain layouts produce the identical
+  visit log and seen set;
+- physical plan: zero shuffle exchanges between the bucketed scan and the
+  rank filter, and the scan is bucket-pruned (`Bucketed: true`);
+- crash consistency: an uncommitted insert is rolled back (explicitly or
+  by recover()), an interrupted fold rolls forward from the intent.
+"""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crabspark.config import Config
+from crabspark.engine import Engine
+from crabspark.tables import BucketedFrontier, Catalog
+from fixtures import gen_pages
+from tests.sparkutil import get_spark
+
+N_PAGES = 40
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fixture_bkt")
+    gen_pages.write(str(out), n_pages=N_PAGES, seed=11)
+    return str(out)
+
+
+def _cfg(buckets: int) -> Config:
+    c = Config.new()
+    c.seeds = [gen_pages.SEED_URL]
+    c.max_urls_to_visit = 5000
+    c.scheduling = "throughput"
+    c.per_host_quota = 3
+    c.collect_images = False
+    c.frontier_buckets = buckets
+    return c
+
+
+def _crawl(spark, data, tmp_path_factory, buckets):
+    eng = Engine(
+        spark, _cfg(buckets),
+        str(tmp_path_factory.mktemp(f"work_bkt{buckets}")),
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    eng.run()
+    h = hashlib.md5()
+    for row in eng.visit_log().select("round", "priority", "url").collect():
+        h.update(f"{row['round']}|{row['priority']}|{row['url']}\n".encode())
+    seen = hashlib.md5(
+        "\n".join(sorted(r["url"] for r in eng.read_seen().collect())).encode()
+    ).hexdigest()
+    return eng, h.hexdigest(), seen
+
+
+@pytest.fixture(scope="module")
+def both(spark, data, tmp_path_factory):
+    e_delta, log_d, seen_d = _crawl(spark, data, tmp_path_factory, 0)
+    e_bkt, log_b, seen_b = _crawl(spark, data, tmp_path_factory, 8)
+    return {
+        "delta": (e_delta, log_d, seen_d),
+        "bucket": (e_bkt, log_b, seen_b),
+    }
+
+
+def test_bucketed_crawl_matches_delta_layout(both):
+    _, log_d, seen_d = both["delta"]
+    _, log_b, seen_b = both["bucket"]
+    assert log_b == log_d
+    assert seen_b == seen_d
+
+
+def test_rank_plan_has_no_shuffle_exchange(both):
+    """The whole select path — bucketed scan -> live-mask anti-join ->
+    politeness window -> rank filter — must contain zero shuffle
+    exchanges (BroadcastExchange for the tiny mask side is fine)."""
+    from crabspark import frontier as frontier_mod
+
+    eng = both["bucket"][0]
+    live = eng._live_frontier(eng.catalog.read("visited_ops"))
+    assert live is not None
+    ranked = frontier_mod.select_batch(live, None, "throughput", 3, 1)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_insert_rollback_removes_uncommitted_files(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wd"), spark)
+    bf = BucketedFrontier(cat, 4)
+    df = spark.createDataFrame(
+        [("u", "c", "s", "h.org", "r", "0000", 0, 0)],
+        "url string, canon string, sha1 string, host string, "
+        "referrer string, priority string, depth int, added_round int",
+    )
+    bf.insert(df, 0)
+    assert bf._files(bf.dir)
+    bf.rollback()
+    assert not bf._files(bf.dir)
+    assert bf.read() is None
+
+
+def test_crash_recovery_drops_uncommitted_insert(spark, tmp_path):
+    """An insert with no manifest commit (simulated crash: no
+    finish_round) must vanish when a fresh BucketedFrontier recovers."""
+    cat = Catalog(str(tmp_path / "wd"), spark)
+    bf = BucketedFrontier(cat, 4)
+    schema = (
+        "url string, canon string, sha1 string, host string, "
+        "referrer string, priority string, depth int, added_round int"
+    )
+    committed = spark.createDataFrame(
+        [("u0", "c0", "s0", "a.org", "r", "0000", 0, 0)], schema
+    )
+    bf.insert(committed, 0)
+    cat.commit(0)
+    bf.finish_round()
+    # crashed round 1: insert, NO commit, NO finish_round
+    orphan = spark.createDataFrame(
+        [("u1", "c1", "s1", "b.org", "r", "0001", 1, 1)], schema
+    )
+    bf.insert(orphan, 1)
+    assert os.path.exists(bf.intent_path)
+    # resume path: fresh catalog + frontier store recover
+    cat2 = Catalog(str(tmp_path / "wd"), spark)
+    bf2 = BucketedFrontier(cat2, 4)
+    rows = bf2.read().collect()
+    assert [r["canon"] for r in rows] == ["c0"]
+    assert not os.path.exists(bf2.intent_path)
+
+
+def test_replace_folds_and_preserves_mask(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wd"), spark)
+    bf = BucketedFrontier(cat, 4)
+    schema = (
+        "url string, canon string, sha1 string, host string, "
+        "referrer string, priority string, depth int, added_round int"
+    )
+    rows = [
+        (f"u{i}", f"c{i}", f"s{i}", f"h{i % 3}.org", "r",
+         f"{i:04d}", 0, i % 2)
+        for i in range(10)
+    ]
+    bf.insert(spark.createDataFrame(rows, schema), 1)
+    cat.commit(1)
+    bf.finish_round()
+    assert bf.read().count() == 10
+    # fold to only even canons, preserving added_round
+    live = bf.read().filter(F.col("depth") == 0).filter(
+        F.col("canon").isin([f"c{i}" for i in range(0, 10, 2)])
+    )
+    bf.replace(live, 2)
+    cat.commit(2, {"frontier_folded_round": 2})
+    got = sorted(r["canon"] for r in bf.read().collect())
+    assert got == [f"c{i}" for i in range(0, 10, 2)]
+    assert not os.path.exists(bf.intent_path)
+    # stage dir cleaned
+    assert not os.path.exists(bf.stage_dir)
+
+
+def test_fold_crash_rolls_forward(spark, tmp_path):
+    """Simulate a crash between 'old files deleted' and 'new files moved
+    in': recover() must complete the swap from the intent file list."""
+    import json
+    import shutil
+
+    cat = Catalog(str(tmp_path / "wd"), spark)
+    bf = BucketedFrontier(cat, 4)
+    schema = (
+        "url string, canon string, sha1 string, host string, "
+        "referrer string, priority string, depth int, added_round int"
+    )
+    bf.insert(
+        spark.createDataFrame(
+            [("u0", "c0", "s0", "a.org", "r", "0000", 0, 0)], schema
+        ),
+        0,
+    )
+    cat.commit(0)
+    bf.finish_round()
+    # stage a folded file set by hand (reuse replace()'s own staging steps)
+    os.makedirs(bf.stage_dir, exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {bf.stage_table}")
+    bf._register(bf.stage_table, bf.stage_dir)
+    spark.createDataFrame(
+        [("u9", "c9", "s9", "z.org", "r", "0009", 0, 0)], schema
+    ).select("url", "canon", "sha1", "host", "referrer", "priority",
+             "depth", "added_round").write.insertInto(bf.stage_table)
+    new_files = bf._files(bf.stage_dir)
+    with open(bf.intent_path, "w") as f:
+        json.dump({"op": "fold", "round": 1, "new_files": new_files}, f)
+    # crash here: old files still present, new files still in stage
+    bf2 = BucketedFrontier(Catalog(str(tmp_path / "wd"), spark), 4)
+    got = [r["canon"] for r in bf2.read().collect()]
+    assert got == ["c9"]
+    assert not os.path.exists(bf2.intent_path)
+    shutil.rmtree(bf2.stage_dir, ignore_errors=True)
