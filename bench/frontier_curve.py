@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=12)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--quota", type=int, default=40)
+    ap.add_argument("--frontier-buckets", type=int, default=0,
+                    help="host-bucketed frontier layout (scale path)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +70,7 @@ def main() -> None:
     cfg.max_urls_to_visit = args.pages * 2   # cap never binds
     cfg.respect_robots = True
     cfg.collect_images = False
+    cfg.frontier_buckets = args.frontier_buckets
 
     work = tempfile.mkdtemp(prefix="crabspark-curve-")
     try:
@@ -116,17 +119,19 @@ def main() -> None:
         "cpus": args.cpus,
         "pages": args.pages,
         "quota": args.quota,
+        "frontier_buckets": args.frontier_buckets,
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "frontier_curve.md")
-    with open(out, "w") as f:
+    with open(out, "a" if args.frontier_buckets else "w") as f:
         f.write("# Frontier-growth curve (adds-only frontier)\n\n")
         f.write(
             "Per-round wall time vs frontier size: the round cost must track\n"
             "O(batch + children), not O(frontier). Fixture: wide fan-out\n"
             f"(branching=4), {args.pages} pages, per_host_quota={args.quota}, "
-            f"local[{args.cpus}].\n\n"
+            f"local[{args.cpus}], frontier layout: "
+            f"{'host-bucketed (' + str(args.frontier_buckets) + ' buckets, shuffle-free rank)' if args.frontier_buckets else 'delta-chain'}.\n\n"
         )
         f.write("| round | batch | children | frontier_size | wall_s |\n")
         f.write("|---|---|---|---|---|\n")

@@ -318,12 +318,12 @@ FROM documents GROUP BY 1
 """
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """N-gram (token-set) Jaccard near-dup over blocked candidate pairs.
-    Blocking key = (source, length bucket): near-dups can't differ much in
-    length, so the quadratic pair join stays confined to small blocks —
-    the scale-path shape (MinHash-LSH would replace the block key at
-    larger scale, see q_minhash_signature)."""
+def q_ngram_jaccard_blocked(spark, sf_dir):
+    """BASELINE near-dup (kept for comparison, NOT the scale path): exact
+    token-set Jaccard over (source, length-bucket) blocked pairs. The pair
+    join is quadratic WITHIN each block, which caps out long before 100 TB
+    — the primary ``ngram_jaccard`` below replaces the block key with
+    MinHash-LSH bands so candidate volume stays near-linear."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source",
         F.floor(F.col("n_chars") / 64).alias("lb"),
@@ -348,7 +348,7 @@ def q_ngram_jaccard(spark, sf_dir):
     ).filter(F.col("jaccard") >= 0.5)
 
 
-SQL_NGRAM_JACCARD = f"""
+SQL_NGRAM_JACCARD_BLOCKED = f"""
 WITH toks AS (
   SELECT doc_id, source, CAST(floor(n_chars / 64) AS BIGINT) AS lb,
          list_distinct({_TOK_DUCK}) AS toks FROM documents)
@@ -420,21 +420,23 @@ _SHINGLE_DUCK = (
 )
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """The closed MinHash-LSH dedup loop: shingle -> minhash -> band-key
-    self-join -> candidate pairs -> exact shingle-Jaccard verify at 0.8.
-    All 12 minhashes come from ONE explode+groupBy scan (map-side partial
-    agg); the band self-join shuffles only (doc_id, bkey) pairs."""
+def _lsh_shingle_pairs(spark, sf_dir, shingle_expr, n_bands, n_rows, thresh):
+    """Shared closed-LSH near-dup shape: shingle -> (n_bands × n_rows) md5
+    minhashes from ONE explode+groupBy scan (map-side partial agg) ->
+    band-key self-join -> exact shingle-Jaccard verify at ``thresh``. The
+    band self-join shuffles only (doc_id, bkey) pairs and candidate volume
+    is near-linear by construction (band keys are balanced)."""
+    n_hash = n_bands * n_rows
     sh = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOK_SPARK).alias("toks")
-    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh"))
+    ).select("doc_id", F.expr(shingle_expr).alias("sh"))
     sigs = (
         sh.select("doc_id", F.explode("sh").alias("g"))
         .groupBy("doc_id")
         .agg(
             *[
                 F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"mh{i}")
-                for i in range(_MH_N)
+                for i in range(n_hash)
             ]
         )
     )
@@ -445,9 +447,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                 *[
                     F.concat(
                         F.lit(f"{k}:"),
-                        *[f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)],
+                        *[f"mh{k * n_rows + j}" for j in range(n_rows)],
                     )
-                    for k in range(_MH_BAND)
+                    for k in range(n_bands)
                 ]
             )
         ).alias("bkey"),
@@ -473,29 +475,31 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         4,
     )
     return out.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.8
+        F.col("jaccard") >= thresh
     )
 
 
-_MH_DUCK_MINS = ", ".join(
-    f"min(md5('{i}|' || g)) AS mh{i}" for i in range(_MH_N)
-)
-_MH_DUCK_BANDS = " UNION ALL ".join(
-    "SELECT doc_id, '%d:' || %s AS bkey FROM sig"
-    % (k, " || ".join(f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)))
-    for k in range(_MH_BAND)
-)
-
-SQL_MINHASH_LSH_PAIRS = f"""
+def _sql_lsh_shingle_pairs(
+    shingle_duck: str, n_bands: int, n_rows: int, thresh: str
+) -> str:
+    """DuckDB twin of ``_lsh_shingle_pairs`` (same literals, same hashes)."""
+    n_hash = n_bands * n_rows
+    mins = ", ".join(f"min(md5('{i}|' || g)) AS mh{i}" for i in range(n_hash))
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, '%d:' || %s AS bkey FROM sig"
+        % (k, " || ".join(f"mh{k * n_rows + j}" for j in range(n_rows)))
+        for k in range(n_bands)
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
 sh AS (
-  SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM toks),
+  SELECT doc_id, {shingle_duck} AS sh FROM toks),
 flat AS (SELECT doc_id, unnest(sh) AS g FROM sh),
 sig AS (
-  SELECT doc_id, {_MH_DUCK_MINS}
+  SELECT doc_id, {mins}
   FROM flat GROUP BY doc_id),
-bands AS ({_MH_DUCK_BANDS}),
+bands AS ({bands}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -504,8 +508,60 @@ j AS (
          round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
   FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
-SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= {thresh}
 """
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """The closed MinHash-LSH dedup loop: 2-word shingle -> minhash ->
+    band-key self-join -> candidate pairs -> exact shingle-Jaccard verify
+    at 0.8 (3 bands × 4 rows: recall ~0.96 at J=0.9, random-pair collision
+    ~3e-4)."""
+    return _lsh_shingle_pairs(
+        spark, sf_dir, _SHINGLE_SPARK, _MH_BAND, _MH_ROWS, 0.8
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_lsh_shingle_pairs(
+    _SHINGLE_DUCK, _MH_BAND, _MH_ROWS, "0.8"
+)
+
+
+# Primary n-gram near-dup: TRIGRAM shingles through the same closed-LSH
+# shape. 6 bands × 2 rows suit the lower 0.5 threshold: recall per true
+# pair is 1-(1-J^2)^6 (~0.82 at J=0.5, ~0.998 at J=0.8); a random pair at
+# J~0.1 collides with p ~ 6e-2·J — candidates stay near-linear. This
+# REPLACES the quadratic (source, length-bucket) block join as the
+# registered near-dup operator (that plan survives only as
+# ngram_jaccard_blocked_baseline).
+_NJ_BANDS, _NJ_ROWS = 6, 2
+_TRIGRAM_SPARK = (
+    "array_distinct(zip_with(zip_with("
+    "slice(toks, 1, greatest(size(toks) - 2, 0)), "
+    "slice(toks, 2, greatest(size(toks) - 2, 0)), "
+    "(x, y) -> concat(x, ' ', y)), "
+    "slice(toks, 3, greatest(size(toks) - 2, 0)), "
+    "(xy, z) -> concat(xy, ' ', z)))"
+)
+_TRIGRAM_DUCK = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram (trigram-shingle) Jaccard near-dup, LSH-blocked: the
+    scale-safe replacement for the length-bucket block join (see
+    q_ngram_jaccard_blocked). Exact trigram Jaccard >= 0.5 is computed
+    ONLY on band-colliding candidates."""
+    return _lsh_shingle_pairs(
+        spark, sf_dir, _TRIGRAM_SPARK, _NJ_BANDS, _NJ_ROWS, 0.5
+    )
+
+
+SQL_NGRAM_JACCARD = _sql_lsh_shingle_pairs(
+    _TRIGRAM_DUCK, _NJ_BANDS, _NJ_ROWS, "0.5"
+)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -781,16 +837,23 @@ FROM embeddings GROUP BY 1, 2
 # by construction (each hyperplane splits the sphere in half), unlike a
 # floor-grid on raw components — the scale-safe blocking key.
 #
-# The driver fixture is random vectors (max organic cosine ~0.51), so a
-# 0.95-threshold query over the raw table is vacuously empty. To make the
-# correctness row falsifiable, the query PLANTS deterministic near-dups —
-# a +0.02 component shift of every 10th vector (planted cosine 0.987-0.99)
-# — identically in both dialects; Spark and the oracle must then agree on
-# ~|planted| result pairs exactly. At cos 0.98 the 8-bit/4-band collision
-# probability is ~0.97, so recall is near-total and deterministic.
+# The OPERATOR (embedding_neardup_pairs) is pure: it near-dup-joins
+# whatever embeddings DataFrame it is given. Because the driver fixture is
+# random vectors (max organic cosine ~0.51, vacuous at a 0.95 threshold),
+# the REGISTERED query feeds it the fixtures/embeddings_aug.py side-input
+# — planted +0.02-shift near-dups of every 10th vector, built OUTSIDE the
+# operator and mirrored as a WITH-CTE view in the oracle (static oracle
+# SQL cannot reference a generated parquet, so the CTE is the closest the
+# harness allows to a physical side-input table). At cos 0.98 the
+# 8-bit/4-band collision probability is ~0.97: recall is near-total and
+# deterministic.
 _ND_BANDS, _ND_BITS, _ND_DIM = 4, 8, 64
-_ND_DELTA = "0.02"  # one literal string, spliced into BOTH dialects
 _ND_THRESH = "0.95"
+
+try:  # fixture side-input layer (driver-side only; never shipped to workers)
+    from fixtures import embeddings_aug as _emb_fixture
+except ImportError:  # pragma: no cover - library used without the repo
+    _emb_fixture = None
 
 
 def _nd_key_exprs() -> tuple[list[str], list[str]]:
@@ -823,21 +886,14 @@ def _nd_key_exprs() -> tuple[list[str], list[str]]:
 _ND_SPARK_KEYS, _ND_DUCK_KEYS = _nd_key_exprs()
 
 
-def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via sign-bit LSH blocking:
-    explode each vector into its per-band bucket keys, self-join on
-    (band, key) — balanced buckets, no quadratic grid cells — distinct the
-    candidate pairs, then exact cosine >= 0.95 verifies. Planted near-dups
-    (see module comment above) make the result non-empty on the fixture."""
-    base = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
-    )
-    planted = base.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.expr(f"transform(emb, x -> x + {_ND_DELTA}D)").alias("emb"),
-    )
-    aug = base.unionByName(planted)
+def embedding_neardup_pairs(aug):
+    """PURE embedding-cosine near-duplicate operator over any DataFrame of
+    (vec_id long, emb array<double>): explode each vector into its
+    per-band sign-bit bucket keys, self-join on (band, key) — balanced
+    buckets, no quadratic grid cells — distinct the candidate pairs, then
+    exact cosine >= 0.95 verifies. The operator never manufactures input;
+    see the fixture side-input note above for what the registered driver
+    query feeds it."""
     keyed = aug.select(
         "vec_id", "emb",
         F.explode(
@@ -886,21 +942,28 @@ def q_embedding_neardup(spark, sf_dir):
     ).filter(F.col("cos_sim") >= float(_ND_THRESH))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Registered driver query: the pure near-dup operator applied to the
+    fixtures/embeddings_aug.py side-input (planted near-dups make the
+    correctness row falsifiable; the operator itself reads tables only)."""
+    if _emb_fixture is None:
+        raise RuntimeError(
+            "fixtures/embeddings_aug.py not importable; call "
+            "embedding_neardup_pairs(df) directly with your own table"
+        )
+    return embedding_neardup_pairs(_emb_fixture.augmented_df(spark, sf_dir))
+
+
 _ND_DUCK_BANDS = " UNION ALL ".join(
     f"SELECT vec_id, emb, {k} AS band_id, {_ND_DUCK_KEYS[k]} AS bkey FROM aug"
     for k in range(_ND_BANDS)
 )
 
-SQL_EMBEDDING_NEARDUP = f"""
-WITH base AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings),
-aug AS (
-  SELECT * FROM base
-  UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
-         list_transform(emb, x -> x + {_ND_DELTA}) AS emb
-  FROM base WHERE vec_id % 10 = 0),
+# oracle text exists only when the fixture layer is importable (the CTE
+# mirrors the side-input); without it the row degrades to a rows-only check
+SQL_EMBEDDING_NEARDUP = (
+    f"""
+WITH {_emb_fixture.DUCK_AUG_CTE},
 keyed AS ({_ND_DUCK_BANDS}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -915,6 +978,9 @@ sims AS (
   FROM cand c JOIN aug x ON c.vec_a = x.vec_id JOIN aug y ON c.vec_b = y.vec_id)
 SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= {_ND_THRESH}
 """
+    if _emb_fixture is not None
+    else None
+)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1073,6 +1139,9 @@ REGISTRY: dict[str, tuple] = {
     "image_name": (q_image_name, SQL_IMAGE_NAME),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_blocked_baseline": (
+        q_ngram_jaccard_blocked, SQL_NGRAM_JACCARD_BLOCKED
+    ),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
