@@ -28,7 +28,8 @@ from crabspark import queries as Q  # noqa: E402
 BENCH_QUERIES = [
     "canonicalize", "host_counts", "seen_antijoin", "perhost_rank",
     "visited_upsert", "completion_agg", "first_observer", "robots_join",
-    "dedup_exact", "ngram_jaccard", "minhash_signature", "minhash_lsh_pairs",
+    "dedup_exact", "ngram_jaccard", "ngram_jaccard_blocked_baseline",
+    "minhash_signature", "minhash_lsh_pairs",
     "dedup_clusters", "simhash",
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",

@@ -86,11 +86,14 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
 
     warm_cfg = copy.deepcopy(cfg)
     warm_cfg.max_urls_to_visit = 40
+    pages_path = os.path.join(fxdir, "pages_bucketed.parquet")
+    if not os.path.exists(os.path.join(pages_path, "_crabspark_buckets.json")):
+        pages_path = os.path.join(fxdir, "pages.parquet")
     warm_work = tempfile.mkdtemp(prefix=f"crabspark-warm-{cpus}-")
     try:
         Engine(
             spark, warm_cfg, warm_work,
-            pages_path=os.path.join(fxdir, "pages.parquet"),
+            pages_path=pages_path,
             robots_path=os.path.join(fxdir, "robots.parquet"),
         ).run()
     finally:
@@ -100,7 +103,7 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
     try:
         eng = Engine(
             spark, cfg, work,
-            pages_path=os.path.join(fxdir, "pages.parquet"),
+            pages_path=pages_path,
             robots_path=os.path.join(fxdir, "robots.parquet"),
         )
         t0 = time.monotonic()
@@ -148,38 +151,49 @@ def kernel_ceiling_probe(fxdir: str, procs_list: list[int]) -> dict[int, float]:
     """Raw-multiprocessing throughput of the REAL extract kernel on REAL
     fixture blobs — Spark completely out of the loop. This measures the
     MACHINE's scaling ceiling for the memory-bandwidth-bound kernel work;
-    the crawl cannot scale past it on a single box."""
+    the crawl cannot scale past it on a single box.
+
+    Each of the 96 tasks processes a DISTINCT 512-page batch (~700 MB
+    total working set), like the real crawl streaming the fixture. A
+    single re-processed batch would stay cache-resident and overstate the
+    machine's scaling ceiling by measuring L3 bandwidth instead of
+    memory bandwidth (the round-2/3 probes had exactly that flaw)."""
     import multiprocessing as mp
 
     import pandas as pd
 
-    global _CEILING_BATCH
+    global _CEILING_BATCHES
+    n_batches, rows = 96, 512
     df = pd.read_parquet(
         os.path.join(fxdir, "pages.parquet"), columns=["html"]
-    ).head(512)
-    # fork-inherited global: shipping the 7MB batch through pool.map args
-    # would serialize it per task through one feeder thread and measure
-    # THAT bottleneck instead of the kernel
-    _CEILING_BATCH = df["html"].tolist()
+    ).head(n_batches * rows)
+    blobs = df["html"].tolist()
+    # fork-inherited global: shipping 700MB through pool.map args would
+    # serialize it per task through one feeder thread and measure THAT
+    # bottleneck instead of the kernel
+    _CEILING_BATCHES = [
+        blobs[i * rows: (i + 1) * rows] for i in range(n_batches)
+    ]
     out: dict[int, float] = {}
     for procs in procs_list:
         with mp.Pool(procs) as pool:
-            pool.map(_ceiling_work, range(procs))  # warm imports
+            pool.map(_ceiling_work, range(procs))  # warm imports + caches
             t0 = time.monotonic()
-            pool.map(_ceiling_work, range(96))
+            pool.map(_ceiling_work, range(len(_CEILING_BATCHES)))
             out[procs] = round(time.monotonic() - t0, 2)
     return out
 
 
-_CEILING_BATCH = None
+_CEILING_BATCHES = None
 
 
-def _ceiling_work(_i):
+def _ceiling_work(i):
     import pandas as pd
 
     from crabspark import extract
 
-    pg = extract.extract_page(pd.Series(_CEILING_BATCH, dtype=object))
+    batch = _CEILING_BATCHES[i % len(_CEILING_BATCHES)]
+    pg = extract.extract_page(pd.Series(batch, dtype=object))
     return int(pg["text"].str.len().sum())
 
 
@@ -197,6 +211,8 @@ def main() -> None:
                     help="shuffle partitions, SAME for every leg (data-sized)")
     ap.add_argument("--pairs", default="1,4",
                     help="semicolon-separated N,4N pairs, e.g. '1,4;8,32'")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="crawls per leg; keep the fastest (noise floor)")
     args = ap.parse_args()
 
     if args.worker:
@@ -221,20 +237,59 @@ def main() -> None:
         gen_pages.write(fxdir, n_pages=args.pages, seed=42,
                         branching=args.branching, body_scale=args.body_scale)
         print(f"fixture generated in {time.monotonic()-t0:.0f}s", file=sys.stderr)
+    bucketed = os.path.join(fxdir, "pages_bucketed.parquet")
+    if not os.path.exists(os.path.join(bucketed, "_crabspark_buckets.json")):
+        # url-hash-bucketed pages layout (the 100-TB scan shape): small
+        # rounds prune the fetch-join scan to their buckets instead of
+        # streaming the whole snapshot. One-time rewrite, cached on disk.
+        print("bucketizing pages fixture ...", file=sys.stderr)
+        from pyspark.sql import SparkSession
+
+        from crabspark.tables import bucketize_pages
+
+        s = (
+            SparkSession.builder.master("local[8]")
+            .appName("crabspark-bucketize")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        bucketize_pages(
+            s, os.path.join(fxdir, "pages.parquet"), bucketed, n_buckets=64
+        )
+        s.stop()
 
     cpu_list = sorted({c for pair in pairs for c in pair})
     results = {}
     for cpus in cpu_list:
-        out = os.path.join(tempfile.gettempdir(), f"scale-{cpus}.json")
-        print(f"running crawl at local[{cpus}] ...", file=sys.stderr)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             "--cpus", str(cpus), "--fxdir", fxdir, "--out", out,
-             "--cap", str(args.cap), "--parts", str(args.parts)],
-            check=True,
-        )
-        with open(out) as f:
-            results[cpus] = json.load(f)
+        # best-of-k (min wall): this VM's run-to-run variance at a fixed
+        # configuration exceeds 2x (GC/THP/page-cache state); the minimum
+        # is the standard noise-floor estimator on a shared host. Output
+        # identity is asserted across ALL repeats, not just the kept one.
+        best = None
+        digests = set()
+        for rep in range(max(1, args.repeats)):
+            out = os.path.join(
+                tempfile.gettempdir(), f"scale-{cpus}-{rep}.json"
+            )
+            print(
+                f"running crawl at local[{cpus}] (rep {rep + 1}/"
+                f"{args.repeats}) ...", file=sys.stderr,
+            )
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 "--cpus", str(cpus), "--fxdir", fxdir, "--out", out,
+                 "--cap", str(args.cap), "--parts", str(args.parts)],
+                check=True,
+            )
+            with open(out) as f:
+                r = json.load(f)
+            digests.add((r["order_md5"], r["seen_md5"], r["text_md5"]))
+            if best is None or r["wall_s"] < best["wall_s"]:
+                best = r
+        assert len(digests) == 1, f"repeats disagree at local[{cpus}]"
+        best["repeats"] = max(1, args.repeats)
+        results[cpus] = best
 
     print("running raw-mp kernel ceiling probe ...", file=sys.stderr)
     ceiling = kernel_ceiling_probe(fxdir, cpu_list)

@@ -992,6 +992,108 @@ class Engine:
             self.catalog.gc_superseded("frontier")
 
     # ------------------------------------------------------------------
+    def ingest_candidates(self, cand_catalog) -> int:
+        """Fold stream-ingested page captures (streaming.start_page_ingest
+        writes a ``candidates`` table in its OWN catalog) into the frontier
+        at a round boundary. Returns the number of rows queued.
+
+        Semantics mirror the engine's own child discovery: candidates are
+        deduped on canon, anti-joined against the seen set (bloom-routed),
+        and — crucially — ALSO entered into the seen set + bloom, which
+        preserves the frontier-dedup invariant ("every frontier row except
+        seeds is in seen"); a page that later links to an ingested canon is
+        dropped by the normal seen anti-join instead of double-queueing.
+        Each survivor becomes a new DFS root: top-level seed-class priority
+        continuing the seed index sequence, depth 0, referrer INGESTED. A
+        high-water mark on the stream's batch ids makes repeated calls
+        idempotent. The global order window here is bounded by one ingest
+        increment (not the frontier), so the single-partition sort is fine.
+        """
+        last = int(self.catalog.extra("ingested_candidates_batch", -1))
+        stream_mark = int(cand_catalog.extra("ingest_last_batch", -1))
+        cand = cand_catalog.read("candidates")
+        if cand is None or stream_mark <= last:
+            return 0
+        r = self.round
+        cand = cand.filter(F.col("discovered_batch") > last)
+        # first observer wins within the increment (stable across retries)
+        cand = frontier_mod.first_occurrence(
+            cand, ["canon"], [F.col("discovered_batch"), F.col("url")]
+        )
+        unseen = filter_unseen(
+            cand, self.catalog.read("seen"), self.bloom,
+            sha1_col="sha1", cand_key="canon", seen_key="url",
+        )
+        if self._queued_seeds:
+            unseen = unseen.filter(
+                ~F.col("canon").isin(sorted(self._queued_seeds))
+            )
+        w = Window.orderBy("discovered_batch", "canon")
+        seq0 = int(self.catalog.extra("ingest_seed_seq", len(self.cfg.seeds)))
+        ranked = unseen.withColumn("__rk", F.row_number().over(w) - 1)
+        prio = frontier_mod.seed_priority_col(F.col("__rk") + F.lit(seq0))
+        new_rows = ranked.select(
+            "url", "canon", "sha1", "host",
+            F.lit("INGESTED").alias("referrer"),
+            prio.alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(r - 1).alias("added_round"),
+        ).localCheckpoint()
+        n = new_rows.count()
+        if n == 0:
+            self.catalog.commit(
+                r - 1, {"ingested_candidates_batch": stream_mark}
+            )
+            return 0
+        try:
+            if self.bucketed_frontier is not None:
+                self.bucketed_frontier.insert(new_rows, r - 1)
+            else:
+                self.catalog.append("frontier", new_rows, r - 1)
+            new_seen = new_rows.select(
+                F.col("canon").alias("url"), "sha1",
+                F.lit(r - 1).alias("round"),
+            )
+            self.catalog.append("seen", new_seen, r - 1)
+            bloom_path = os.path.join(
+                self.catalog.root, f"bloom-{r - 1:06d}i.npy"
+            )
+            self.bloom.add_dataframe(new_seen, sha1_col="sha1")
+            self.bloom.save(bloom_path)
+            requeued = {
+                row["canon"]
+                for row in new_rows.filter(
+                    F.col("canon").isin(sorted(self._all_seed_canons))
+                ).select("canon").collect()
+            } if self._all_seed_canons else set()
+            queued_after = self._queued_seeds | requeued
+            new_size = (
+                None if self.frontier_size is None
+                else self.frontier_size + n
+            )
+            self.catalog.commit(
+                r - 1,
+                {
+                    "ingested_candidates_batch": stream_mark,
+                    "ingest_seed_seq": seq0 + n,
+                    "frontier_size": new_size,
+                    "bloom": bloom_path,
+                    "queued_seeds": sorted(queued_after),
+                },
+            )
+        except BaseException:
+            if self.bucketed_frontier is not None:
+                self.bucketed_frontier.rollback()
+            self.catalog.abort()
+            raise
+        if self.bucketed_frontier is not None:
+            self.bucketed_frontier.finish_round()
+        self.frontier_size = new_size
+        self._queued_seeds = queued_after
+        self._debug_log(f"ingested {n} streamed candidates as new roots")
+        return n
+
+    # ------------------------------------------------------------------
     def finalize(self) -> None:
         """Completion propagation (A4, quirks Q4/Q5/Q10): iterative
         bad-call fixpoint over the per-visit edge tree, bounded by crawl
@@ -1029,18 +1131,25 @@ class Engine:
             .join(visits.select("url").distinct(), "url", "left_anti")
             .localCheckpoint()
         )
+        # DELTA iteration: each step joins the edge table against only the
+        # NEWLY-bad nodes (not the whole accumulated set) — per-step work
+        # shrinks with the delta instead of re-scanning O(|bad|) matches,
+        # so total work is O(edges × graph depth) worst case but O(edges +
+        # Σ|delta|) in the common shallow-crawl case.
+        delta = bad
         while True:
             new_bad = (
                 last_edges.join(
-                    bad.withColumnRenamed("url", "child"), "child", "inner"
+                    delta.withColumnRenamed("url", "child"), "child", "inner"
                 )
                 .select(F.col("parent").alias("url"))
                 .distinct()
                 .join(bad, "url", "left_anti")
             )
-            if new_bad.isEmpty():
+            delta = new_bad.localCheckpoint(eager=False)
+            if delta.isEmpty():
                 break
-            bad = bad.unionByName(new_bad).localCheckpoint()
+            bad = bad.unionByName(delta).localCheckpoint()
         # a visit is complete iff it fetched ok and no edge-child call failed
         bad_visits = (
             edges_df.join(bad.withColumnRenamed("url", "child"), "child", "inner")

@@ -43,20 +43,30 @@ def seed_priority(i: int) -> str:
     return _extend_hex(format(i, "x"))
 
 
+def _extend_hex_col(rank):
+    """Column form of ``_extend_hex``: fixed-width lowercase hex with the
+    'z'-prefix widening for ranks beyond 0xffff."""
+    hexs = F.lower(F.hex(rank))
+    return F.when(
+        F.length(hexs) <= _WIDTH, F.lpad(hexs, _WIDTH, "0")
+    ).otherwise(
+        F.concat(F.repeat(F.lit("z"), F.length(hexs) - _WIDTH), hexs)
+    )
+
+
+def seed_priority_col(i):
+    """Column form of ``seed_priority`` (streamed candidates become new
+    DFS roots continuing the seed index sequence)."""
+    return _extend_hex_col(i)
+
+
 def child_priority(parent_priority, child_rank):
     """parent '0000/0002' + rank 3 -> '0000/0002/0003' (rank is 0-based
     position among the page's surviving links, document order). Ranks
     beyond 0xffff widen via the 'z'-prefix scheme of ``_extend_hex`` —
     still unique and monotone, never truncated."""
-    hexs = F.lower(F.hex(child_rank))
     return F.concat(
-        parent_priority,
-        F.lit("/"),
-        F.when(
-            F.length(hexs) <= _WIDTH, F.lpad(hexs, _WIDTH, "0")
-        ).otherwise(
-            F.concat(F.repeat(F.lit("z"), F.length(hexs) - _WIDTH), hexs)
-        ),
+        parent_priority, F.lit("/"), _extend_hex_col(child_rank)
     )
 
 

@@ -5,23 +5,26 @@ The crawl records media as opaque ``binary`` columns with typed metadata
 db/migrations/012425_init.sql:20-29 / src/sqlite.rs:33-39). This module
 provides the Spark-side operators a training-data pipeline needs over such
 columns — schema, partition-friendly batch shape, Arrow-batched UDF
-signatures — with REAL codecs for the formats decodable without external libraries —
-24-bit uncompressed BMP (pure numpy) and PCM WAV (stdlib ``wave``) — and a
-deterministic sha1-seeded FAKE for everything else (JPEG/PNG/MP4 need
-PIL/ffmpeg, absent in this environment; swapping the fallback for them
-changes one function body; every signature, schema and ``mapInPandas``
-batch contract stays as-is).
+signatures — with REAL codecs for the formats decodable without external
+libraries — 24-bit uncompressed BMP (pure numpy), 8-bit truecolor PNG
+(stdlib zlib, full none/sub/up/average/paeth unfiltering), PCM WAV (stdlib
+``wave``) — and a deterministic sha1-seeded FAKE for everything else
+(JPEG/MP4 need PIL/ffmpeg, absent in this environment; swapping the
+fallback for them changes one function body; every signature, schema and
+``mapInPandas`` batch contract stays as-is).
 
 Operators:
 - ``media_schema``         canonical media-table schema
 - ``encode_bmp/decode_bmp``  real 24-bit BMP codec (numpy)
+- ``encode_png/decode_png``  real 8-bit RGB/RGBA PNG codec (stdlib zlib)
 - ``encode_wav/decode_wav``  real PCM WAV codec (stdlib wave)
 - ``decode_meta``          binary -> (width, height, n_frames, duration_ms);
-                           REAL for BMP/WAV, fake fallback otherwise
+                           REAL for BMP/PNG/WAV, fake fallback otherwise
 - ``image_features``       binary -> fixed-dim float vector; REAL color/
-                           luma-histogram features for BMP
+                           luma-histogram features for BMP/PNG
 - ``audio_features``       binary -> (rms, zero-cross, band energies) for WAV
-- ``resize_images``        binary -> binary; REAL nearest-neighbor for BMP
+- ``resize_images``        binary -> binary; REAL nearest-neighbor,
+                           same-format re-encode for BMP/PNG
 - ``sample_frames``        video binary -> exploded frame rows (stub bytes —
                            the one remaining fake path, video needs ffmpeg)
 
@@ -98,6 +101,120 @@ def decode_bmp(b: bytes) -> np.ndarray | None:
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Non-interlaced 8-bit RGB/RGBA PNG from an HxWx{3,4} uint8 array —
+    filter-0 rows, stdlib zlib, CRC32 chunk framing. No external libs."""
+    import zlib
+
+    h, w, c = pixels.shape
+    ctype = {3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray | None:
+    """HxWxC uint8 (C=3 RGB / C=4 RGBA) for non-interlaced 8-bit
+    truecolor PNGs; None for anything else (palette/16-bit/interlaced PNG
+    needs PIL — absent in this environment). Full filter support
+    (none/sub/up/average/paeth): sub/avg/paeth are sequential per RFC 2083,
+    so those rows run a per-byte loop — fine at fixture scale, and the
+    whole decoder is swappable for PIL without touching the operators."""
+    import zlib
+
+    b = bytes(b or b"")
+    if not b.startswith(_PNG_SIG):
+        return None
+    try:
+        pos, idat, meta = 8, [], None
+        while pos + 8 <= len(b):
+            ln, tag = struct.unpack_from(">I4s", b, pos)
+            data = b[pos + 8: pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype not in (2, 6) or comp or filt or inter:
+                    return None
+                meta = (w, h, 3 if ctype == 2 else 4)
+            elif tag == b"IDAT":
+                idat.append(data)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if meta is None or not idat:
+            return None
+        w, h, c = meta
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * c
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        p2 = 0
+        for y in range(h):
+            ft = raw[p2]
+            p2 += 1
+            cur = np.frombuffer(raw, np.uint8, stride, p2).copy()
+            p2 += stride
+            if ft == 0:
+                pass
+            elif ft == 2:  # up (vectorized; uint8 wraps mod 256)
+                cur += prev
+            elif ft == 1:  # sub
+                for x in range(c, stride):
+                    cur[x] = (int(cur[x]) + int(cur[x - c])) & 0xFF
+            elif ft == 3:  # average
+                for x in range(stride):
+                    left = int(cur[x - c]) if x >= c else 0
+                    cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif ft == 4:  # paeth
+                for x in range(stride):
+                    a = int(cur[x - c]) if x >= c else 0
+                    up = int(prev[x])
+                    ul = int(prev[x - c]) if x >= c else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    )
+                    cur[x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = out[y]
+        return out.reshape(h, w, c)
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
+def decode_image(b: bytes) -> tuple[np.ndarray, str] | None:
+    """(HxWxC uint8 pixels, format) for every REAL image codec we carry:
+    24-bit BMP and 8-bit truecolor PNG."""
+    img = decode_bmp(b)
+    if img is not None:
+        return img, "bmp"
+    img = decode_png(b)
+    if img is not None:
+        return img, "png"
+    return None
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV from an int16 sample array."""
     buf = io.BytesIO()
@@ -151,8 +268,9 @@ def decode_meta(df: DataFrame) -> DataFrame:
     )
 
     def _meta(b, k):
-        img = decode_bmp(b) if k == "image" else None
-        if img is not None:
+        dec = decode_image(b) if k == "image" else None
+        if dec is not None:
+            img, _fmt = dec
             return img.shape[1], img.shape[0], 1, 0
         if k == "audio":
             wav = decode_wav(b)
@@ -213,8 +331,9 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in it:
             feats, decoded = [], []
             for b in pdf["media"]:
-                img = decode_bmp(b)
-                if img is not None:
+                dec = decode_image(b)
+                if dec is not None:
+                    img = dec[0][:, :, :3]  # features ignore alpha
                     feats.append(np.float32(_bmp_features(img)).tolist())
                     decoded.append(True)
                 else:
@@ -281,9 +400,10 @@ def audio_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor resample + BMP re-encode for
-    decodable BMPs; deterministic tagged passthrough for other formats
-    (PIL would handle those). Binary-in/binary-out shape either way."""
+    """Resize: REAL nearest-neighbor resample + same-format re-encode for
+    decodable BMPs and PNGs (alpha preserved for RGBA PNG); deterministic
+    tagged passthrough for other formats (PIL would handle those).
+    Binary-in/binary-out shape either way."""
     schema = "media_id long, media binary, width int, height int, decoded boolean"
     tag = f"RSZ{width}x{height}:".encode()
 
@@ -291,11 +411,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in it:
             out, decoded = [], []
             for b in pdf["media"]:
-                img = decode_bmp(b)
-                if img is not None:
+                dec = decode_image(b)
+                if dec is not None:
+                    img, fmt = dec
                     ys = (np.arange(height) * img.shape[0] // height)
                     xs = (np.arange(width) * img.shape[1] // width)
-                    out.append(encode_bmp(img[ys][:, xs]))
+                    resized = img[ys][:, xs]
+                    out.append(
+                        encode_bmp(resized) if fmt == "bmp"
+                        else encode_png(resized)
+                    )
                     decoded.append(True)
                 else:
                     out.append(tag + bytes(b or b""))

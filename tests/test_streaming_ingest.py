@@ -113,3 +113,98 @@ def test_host_rate_window_and_late_drop(spark, tmp_path):
         for r in cat.read("host_rate").collect()
     }
     assert got2[(0, "a.com")] == 3  # unchanged by the late capture
+
+
+def test_ingested_candidates_get_crawled(spark, tmp_path):
+    """End-to-end stream -> crawl wiring (Engine.ingest_candidates):
+    captures landing mid-crawl are folded into the frontier at a round
+    boundary, crawled in later rounds as new DFS roots, enter the seen
+    set (no double-queue on rediscovery), and repeated ingest calls are
+    idempotent."""
+    import os
+
+    from crabspark.config import Config
+    from crabspark.engine import Engine
+    from pyspark.sql import functions as F
+
+    data = gen_pages.generate(n_pages=30, seed=3)
+    fixture = str(tmp_path / "fx")
+    os.makedirs(fixture)
+    data["pages"].to_parquet(
+        f"{fixture}/pages.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    data["robots"].to_parquet(f"{fixture}/robots.parquet", index=False)
+
+    cfg = Config.new()
+    cfg.seeds = [gen_pages.SEED_URL]
+    cfg.max_urls_to_visit = 5000
+    cfg.scheduling = "throughput"
+    cfg.per_host_quota = 4
+    cfg.collect_images = False
+    eng = Engine(
+        spark, cfg, str(tmp_path / "work"),
+        pages_path=f"{fixture}/pages.parquet",
+        robots_path=f"{fixture}/robots.parquet",
+    )
+    eng.run(max_rounds=2)
+    visited_before = {
+        r["url"] for r in eng.visit_log().select("url").collect()
+    }
+
+    # captures "land" mid-crawl: pages of an unrelated island host that no
+    # crawled page links to — only the stream can discover them
+    import pandas as pd
+
+    island = pd.DataFrame(
+        {
+            "url": [f"https://island.example/p{i}.html" for i in range(4)],
+            "warc_ts": data["pages"]["warc_ts"].iloc[:4].tolist(),
+            "html": [
+                b"<html><body><p>island page</p></body></html>"
+                for _ in range(4)
+            ],
+            "text": ["island page"] * 4,
+            "lang": ["en"] * 4,
+        }
+    )
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    island.to_parquet(
+        f"{incoming}/part-0.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    # the island pages must also be fetchable: extend the engine's pages
+    # view (simulates the pages snapshot growing with the stream)
+    eng.pages = eng.pages.unionByName(
+        spark.read.parquet(f"{incoming}/part-0.parquet")
+    )
+
+    cand_cat = Catalog(str(tmp_path / "cand"), spark)
+    q = start_page_ingest(spark, incoming, cand_cat, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    n = eng.ingest_candidates(cand_cat)
+    assert n == 4
+    assert eng.ingest_candidates(cand_cat) == 0  # idempotent high-water
+
+    eng.run()  # crawl to completion
+    vl = eng.visit_log().select("url", "referrer", "round").collect()
+    island_visits = [r for r in vl if r["url"].startswith("island.example")]
+    assert len(island_visits) == 4
+    assert all(r["referrer"] == "INGESTED" for r in island_visits)
+    # crawled AFTER the ingest round boundary
+    assert all(r["round"] >= 2 for r in island_visits)
+    # no double visits anywhere
+    urls = [r["url"] for r in vl]
+    dupes = {u for u in urls if urls.count(u) > 1}
+    assert not dupes or dupes <= {"mega1.com"}  # seed re-queue is legal
+    # parity flags: island pages fetched ok and marked complete (leaves)
+    visited = eng.read_visited()
+    isl = visited.filter(F.col("url").startswith("island.example")).collect()
+    assert len(isl) == 4
+    assert all(r["is_complete"] and not r["is_blocked"] for r in isl)
+    # ingested canons entered the seen set (dedup invariant holds)
+    seen = {r["url"] for r in eng.read_seen().collect()}
+    assert {r["url"] for r in isl} <= seen
+    assert not visited_before & {r["url"] for r in isl}
