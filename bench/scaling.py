@@ -165,21 +165,25 @@ def kernel_ceiling_probe(fxdir: str, procs_list: list[int]) -> dict[int, float]:
     global _CEILING_BATCHES
     n_batches, rows = 96, 512
     df = pd.read_parquet(
-        os.path.join(fxdir, "pages.parquet"), columns=["html"]
+        os.path.join(fxdir, "pages.parquet"), columns=["url", "html"]
     ).head(n_batches * rows)
-    blobs = df["html"].tolist()
     # fork-inherited global: shipping 700MB through pool.map args would
     # serialize it per task through one feeder thread and measure THAT
     # bottleneck instead of the kernel
     _CEILING_BATCHES = [
-        blobs[i * rows: (i + 1) * rows] for i in range(n_batches)
+        (
+            df["html"].iloc[i * rows: (i + 1) * rows].tolist(),
+            df["url"].iloc[i * rows: (i + 1) * rows].tolist(),
+        )
+        for i in range(n_batches)
     ]
     out: dict[int, float] = {}
     for procs in procs_list:
         with mp.Pool(procs) as pool:
             pool.map(_ceiling_work, range(procs))  # warm imports + caches
             t0 = time.monotonic()
-            pool.map(_ceiling_work, range(len(_CEILING_BATCHES)))
+            # 3 passes so the high-proc legs measure seconds, not timer noise
+            pool.map(_ceiling_work, range(3 * len(_CEILING_BATCHES)))
             out[procs] = round(time.monotonic() - t0, 2)
     return out
 
@@ -188,13 +192,26 @@ _CEILING_BATCHES = None
 
 
 def _ceiling_work(i):
+    """One batch through the FULL per-URL kernel chain a crawl round runs
+    (extract -> per-link resolve/canonicalize/sha1), not extract alone —
+    the ceiling must measure the work the engine actually scales."""
     import pandas as pd
 
-    from crabspark import extract
+    from crabspark import extract, urlkit
 
-    batch = _CEILING_BATCHES[i % len(_CEILING_BATCHES)]
-    pg = extract.extract_page(pd.Series(batch, dtype=object))
-    return int(pg["text"].str.len().sum())
+    html, urls = _CEILING_BATCHES[i % len(_CEILING_BATCHES)]
+    pg = extract.extract_page(pd.Series(html, dtype=object))
+    hrefs, refs = [], []
+    for u, links in zip(urls, pg["link_links"]):
+        for hr in links or []:
+            hrefs.append(hr)
+            refs.append(u)
+    resolved = urlkit.resolve_links(
+        pd.Series(hrefs, dtype=object), pd.Series(refs, dtype=object)
+    )
+    parsed = urlkit.parse_serialize(resolved)
+    canon = urlkit.canonicalize(parsed["ser"])
+    return int(urlkit.sha1_hex(canon).notna().sum())
 
 
 def main() -> None:
@@ -318,6 +335,7 @@ def main() -> None:
     report = {
         "pages": args.pages,
         "parts": args.parts,
+        "repeats": max(1, args.repeats),
         "runs": results,
         "pairs": pair_reports,
         "kernel_ceiling_probe_s": ceiling,
@@ -365,20 +383,23 @@ def write_markdown(rep: dict) -> None:
     md.append("\n## Raw-kernel machine ceiling (Spark out of the loop)\n")
     md.append(
         "\nThe same extract kernel over the same fixture blobs driven by a"
-        "\nplain multiprocessing pool (96 batches of 512 pages):\n\n"
+        "\nplain multiprocessing pool — 96 DISTINCT 512-page batches"
+        "\n(~700 MB working set), so the probe streams memory like the real"
+        "\ncrawl instead of re-hashing one cache-resident batch (an earlier"
+        "\nprobe did exactly that and overstated the achievable speedup):\n\n"
     )
     md.append("| procs | wall (s) |\n|---|---|\n")
     for c, t in sorted(rep["kernel_ceiling_probe_s"].items(), key=lambda kv: int(kv[0])):
         md.append(f"| {c} | {t} |\n")
     md.append(
         "\nThis single-box ceiling is memory bandwidth on string churn, not"
-        "\nSpark overhead: past ~16 concurrent workers the last doubling of"
-        "\ncores yields ~1.4x even with Spark completely out of the loop. On"
-        "\na real cluster the N -> 4N step multiplies memory bandwidth along"
-        "\nwith cores (each executor node brings its own), so the 1 -> 4"
-        "\npair — where per-core bandwidth is not saturated — is the faithful"
-        "\nsingle-box analogue of adding nodes; the 8 -> 32 pair measures"
-        "\nsaturation of ONE node's memory bus.\n"
+        "\nSpark overhead. On a real cluster the N -> 4N step multiplies"
+        "\nmemory bandwidth along with cores (each executor node brings its"
+        "\nown), so the pair where per-core bandwidth is not yet saturated"
+        "\nis the faithful single-box analogue of adding nodes; the high-end"
+        "\npair measures saturation of ONE node's memory bus. Each leg is"
+        f"\nthe fastest of {rep.get('repeats', 1)} runs (min-of-k noise"
+        "\nfloor); output identity is asserted across every run.\n"
     )
     md.append(
         "\n## Extrapolation to the 10^10 frontier\n"

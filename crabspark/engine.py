@@ -514,9 +514,20 @@ class Engine:
             )
         )
         # first observer wins across the whole round (U1/U2 dedup; DFS order:
-        # parent priority, links before imgs, document position)
-        cand = frontier_mod.first_occurrence(
-            cand, ["canon"], [F.col("p_priority"), F.col("kind"), F.col("pos")]
+        # parent priority, links before imgs, document position). min_by
+        # over a struct — NOT a row_number window: an aggregate gets
+        # map-side partial combine, so the shuffle carries ~one row per
+        # DISTINCT canon instead of every raw candidate (the fattest round
+        # extracts ~25x more raw links than distinct canons; the window
+        # form shuffled them all and dominated that round's wall). The
+        # (p_priority, kind, pos) struct is a total order: p_priority is
+        # unique per parent, (kind, pos) unique within a parent.
+        payload = [c for c in cand.columns if c != "canon"]
+        order = F.struct(F.col("p_priority"), F.col("kind"), F.col("pos"))
+        cand = (
+            cand.groupBy("canon")
+            .agg(F.min_by(F.struct(*payload), order).alias("__w"))
+            .select("canon", *[F.col(f"__w.{c}").alias(c) for c in payload])
         )
 
         # --- seen filter: bloom prefilter + exact anti-join (J2) ---

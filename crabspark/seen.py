@@ -40,9 +40,21 @@ def _params(capacity: int, fpp: float) -> tuple[int, int]:
 
 
 def _positions(sha1_hex: np.ndarray, m: int, k: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing on the sha1 halves."""
-    h1 = np.array([int(s[:15], 16) for s in sha1_hex], dtype=np.uint64)
-    h2 = np.array([int(s[15:30], 16) | 1 for s in sha1_hex], dtype=np.uint64)
+    """(n, k) bit positions via double hashing on the sha1 halves.
+    Fully vectorized: the hex chars are viewed as UCS4 code units and
+    nibble-decoded with one where() + one matmul per half — no per-row
+    Python int() parsing (that loop showed up in bloom-probe profiles)."""
+    s = np.asarray(sha1_hex, dtype="U40")
+    if len(s) == 0:
+        return np.zeros((0, k), dtype=np.int64)
+    codes = s.view(np.uint32).reshape(len(s), -1)[:, :30].astype(np.int64)
+    nib = np.where(codes > ord("9"), codes - ord("a") + 10, codes - ord("0"))
+    nib = nib.astype(np.uint64)
+    pw = np.array([16] * 15, dtype=np.uint64) ** np.arange(
+        14, -1, -1, dtype=np.uint64
+    )
+    h1 = (nib[:, :15] * pw).sum(axis=1)  # < 2^60, no overflow
+    h2 = ((nib[:, 15:30] * pw).sum(axis=1)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
