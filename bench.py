@@ -93,6 +93,22 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
     cfg.max_urls_to_visit = n_pages * 2
     cfg.respect_robots = True
     cfg.collect_images = True
+    # steady-state warm-up (JIT, codegen, python workers, file listings) —
+    # identical to bench/scaling.py's protocol; the cold first round
+    # otherwise costs ~10s of pure JVM/JIT warm-up in the measured number
+    import copy
+
+    warm_cfg = copy.deepcopy(cfg)
+    warm_cfg.max_urls_to_visit = 40
+    warm_work = tempfile.mkdtemp(prefix="crabspark-bench-warm-")
+    try:
+        Engine(
+            spark, warm_cfg, warm_work,
+            pages_path=os.path.join(fxdir, "pages.parquet"),
+            robots_path=os.path.join(fxdir, "robots.parquet"),
+        ).run()
+    finally:
+        shutil.rmtree(warm_work, ignore_errors=True)
     work = tempfile.mkdtemp(prefix="crabspark-bench-")
     try:
         eng = Engine(

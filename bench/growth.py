@@ -100,6 +100,7 @@ def main() -> None:
             robots_path=os.path.join(fxdir, "robots.parquet"),
         )
         t_all = time.monotonic()
+        eng.run(max_rounds=0)  # initialize + commit the seed frontier only
         while True:
             t0 = time.monotonic()
             progressed = eng._round()
