@@ -136,6 +136,19 @@ def main() -> None:
     qtimes = bench_queries(spark, sf_dir)
     urls_per_sec = 0.0
     if os.environ.get("CRABSPARK_BENCH_SKIP_CRAWL") != "1":
+        # The crawl leg runs Python UDF workers CONCURRENTLY with JVM task
+        # threads; at task-slots == cores the workers keep every core busy
+        # through JVM stop-the-world pauses and the GC's threads starve
+        # (measured: G1 young pauses stretch 100ms -> 2.5s at local[32];
+        # see BENCH/BASELINE.md). Leave GC/python headroom, exactly like
+        # the standard executor-cores < node-cores rule on a real cluster.
+        # The query suite is UDF-free and unaffected, so it keeps all
+        # cores.
+        crawl_cpus = max(8, cpus - 8) if cpus >= 16 else cpus
+        if crawl_cpus != cpus:
+            spark.stop()
+            spark = get_spark(crawl_cpus)
+            spark.sparkContext.setLogLevel("ERROR")
         urls_per_sec, crawl_wall = bench_crawl(spark, n_pages)
         qtimes["crawl_round_loop"] = round(crawl_wall, 3)
 
