@@ -7,7 +7,8 @@ provides the Spark-side operators a training-data pipeline needs over such
 columns — schema, partition-friendly batch shape, Arrow-batched UDF
 signatures — with REAL codecs for the formats decodable without external
 libraries — 24-bit uncompressed BMP (pure numpy), 8-bit truecolor PNG
-(stdlib zlib, full none/sub/up/average/paeth unfiltering), PCM WAV (stdlib
+(stdlib zlib, full none/sub/up/average/paeth unfiltering), GIF87a/89a
+(pure-python LZW, interlace + animation frame counts), PCM WAV (stdlib
 ``wave``) — and a deterministic sha1-seeded FAKE for everything else
 (JPEG/MP4 need PIL/ffmpeg, absent in this environment; swapping the
 fallback for them changes one function body; every signature, schema and
@@ -17,14 +18,16 @@ Operators:
 - ``media_schema``         canonical media-table schema
 - ``encode_bmp/decode_bmp``  real 24-bit BMP codec (numpy)
 - ``encode_png/decode_png``  real 8-bit RGB/RGBA PNG codec (stdlib zlib)
+- ``encode_gif/decode_gif``  real GIF codec (pure-python LZW; first frame
+                           decode, real animation frame counts)
 - ``encode_wav/decode_wav``  real PCM WAV codec (stdlib wave)
 - ``decode_meta``          binary -> (width, height, n_frames, duration_ms);
-                           REAL for BMP/PNG/WAV, fake fallback otherwise
+                           REAL for BMP/PNG/GIF/WAV, fake fallback otherwise
 - ``image_features``       binary -> fixed-dim float vector; REAL color/
-                           luma-histogram features for BMP/PNG
+                           luma-histogram features for BMP/PNG/GIF
 - ``audio_features``       binary -> (rms, zero-cross, band energies) for WAV
 - ``resize_images``        binary -> binary; REAL nearest-neighbor,
-                           same-format re-encode for BMP/PNG
+                           same-format re-encode for BMP/PNG/GIF
 - ``sample_frames``        video binary -> exploded frame rows (stub bytes —
                            the one remaining fake path, video needs ffmpeg)
 
@@ -205,14 +208,222 @@ def decode_png(b: bytes) -> np.ndarray | None:
 
 def decode_image(b: bytes) -> tuple[np.ndarray, str] | None:
     """(HxWxC uint8 pixels, format) for every REAL image codec we carry:
-    24-bit BMP and 8-bit truecolor PNG."""
+    24-bit BMP, 8-bit truecolor PNG, and GIF (first frame)."""
     img = decode_bmp(b)
     if img is not None:
         return img, "bmp"
     img = decode_png(b)
     if img is not None:
         return img, "png"
+    img = decode_gif(b)
+    if img is not None:
+        return img, "gif"
     return None
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes | None:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code width
+    grows to 12 bits. Returns exactly ``expected`` index bytes or None."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i: byte_i + 4], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (the exact inverse of ``_lzw_decode``):
+    emits CLEAR up front and resets the table at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # encoder bumps one step later than the decoder (classic GIF
+        # asymmetry): the decoder reconstructs this entry only after
+        # reading the NEXT code
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            code_size = min_code_size + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """GIF87a from an HxWx3 uint8 RGB array with <= 256 distinct colors
+    (palette built from the image). Single frame, non-interlaced, real
+    LZW compression — stdlib only."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    ct_bits = max(1, int(len(colors) - 1).bit_length())
+    ct_size = 1 << ct_bits
+    palette = np.zeros((ct_size, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(2, ct_bits)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tobytes(), min_code)
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i: i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_frames(b: bytes):
+    """Parse GIF structure: yields (left, top, w, h, interlaced, palette,
+    index_bytes) per frame; extensions are skipped. Internal helper for
+    decode_gif / frame counting."""
+    if len(b) < 13 or bytes(b[:4]) != b"GIF8":
+        return
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        tag = b[pos]
+        pos += 1
+        if tag == 0x3B:  # trailer
+            return
+        if tag == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if tag != 0x2C:
+            return  # unknown block: stop parsing
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        yield left, top, w, h, bool(ipacked & 0x40), pal, (
+            _lzw_decode(bytes(data), min_code, w * h), min_code
+        )
+
+
+def decode_gif(b: bytes) -> np.ndarray | None:
+    """First frame of a GIF87a/89a as an HxWx3 uint8 RGB array (interlace
+    handled; transparency ignored); None when undecodable."""
+    b = bytes(b or b"")
+    try:
+        for _l, _t, w, h, interlaced, pal, (idx, _mc) in _gif_frames(b):
+            if idx is None or pal is None or w <= 0 or h <= 0:
+                return None
+            arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+            if interlaced:
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                out = np.zeros_like(arr)
+                out[order] = arr
+                arr = out
+            if int(arr.max(initial=0)) >= len(pal):
+                return None
+            return pal[arr]
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None
+
+
+def gif_frame_count(b: bytes) -> int | None:
+    """Number of image descriptors (animation frames); None if not GIF."""
+    b = bytes(b or b"")
+    if not b.startswith(b"GIF8"):
+        return None
+    try:
+        return sum(1 for _ in _gif_frames(b))
+    except (struct.error, ValueError, IndexError):
+        return None
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -270,8 +481,10 @@ def decode_meta(df: DataFrame) -> DataFrame:
     def _meta(b, k):
         dec = decode_image(b) if k == "image" else None
         if dec is not None:
-            img, _fmt = dec
-            return img.shape[1], img.shape[0], 1, 0
+            img, fmt = dec
+            # animated GIFs report their REAL frame count
+            frames = (gif_frame_count(b) or 1) if fmt == "gif" else 1
+            return img.shape[1], img.shape[0], frames, 0
         if k == "audio":
             wav = decode_wav(b)
             if wav is not None:
@@ -417,10 +630,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     ys = (np.arange(height) * img.shape[0] // height)
                     xs = (np.arange(width) * img.shape[1] // width)
                     resized = img[ys][:, xs]
-                    out.append(
-                        encode_bmp(resized) if fmt == "bmp"
-                        else encode_png(resized)
-                    )
+                    # same-format re-encode; nearest-neighbor keeps GIF
+                    # output within the source palette (<= 256 colors)
+                    enc = {"bmp": encode_bmp, "png": encode_png,
+                           "gif": encode_gif}[fmt]
+                    out.append(enc(resized))
                     decoded.append(True)
                 else:
                     out.append(tag + bytes(b or b""))

@@ -275,3 +275,96 @@ def test_png_real_meta_features_resize(media):
     ys = np.arange(6) * 12 // 6
     xs = np.arange(4) * 8 // 4
     assert (back == grad[ys][:, xs]).all()
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pure-python LZW, real)
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_including_lzw_resets():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # the 211x193 case overflows the 4096-entry LZW table -> exercises the
+    # mid-stream CLEAR/reset path in both encoder and decoder
+    for shape, ncol in (((13, 9), 2), ((31, 17), 200), ((211, 193), 256)):
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, shape)]
+        back = M.decode_gif(M.encode_gif(px))
+        assert back is not None and (back == px).all(), (shape, ncol)
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF (pass-ordered rows + interlace flag)
+    and check the decoder restores natural row order."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    px_idx = rng.integers(0, 5, (16, 8)).astype(np.uint8)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    order = (
+        list(range(0, 16, 8)) + list(range(4, 16, 8))
+        + list(range(2, 16, 4)) + list(range(1, 16, 2))
+    )
+    lzw = M._lzw_encode(px_idx[order].tobytes(), 3)
+    gif = bytearray(b"GIF87a")
+    gif += struct.pack("<HHBBB", 8, 16, 0x80 | 2, 0, 0) + pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 8, 16, 0x40)
+    gif.append(3)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i: i + 255]
+        gif.append(len(blk))
+        gif += blk
+    gif += b"\x00\x3b"
+    back = M.decode_gif(bytes(gif))
+    assert back is not None and (back == pal[px_idx]).all()
+
+
+def test_gif_animation_frame_count_and_meta(media):
+    """A 2-frame GIF reports n_frames=2 through decode_meta (real
+    animation metadata, not the sha1 fake)."""
+    import struct
+
+    import numpy as np
+
+    spark, _ = media
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 4, (6, 5))]
+    one = bytearray(M.encode_gif(px)[:-1])  # strip trailer
+    idx2 = rng.integers(0, 4, (6, 5)).astype(np.uint8)
+    lzw = M._lzw_encode(idx2.tobytes(), 2)
+    one += struct.pack("<BHHHHB", 0x2C, 0, 0, 5, 6, 0x80 | 1)
+    one += pal.tobytes()
+    one.append(2)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i: i + 255]
+        one.append(len(blk))
+        one += blk
+    one += b"\x00\x3b"
+    two_frame = bytes(one)
+    assert M.gif_frame_count(two_frame) == 2
+
+    df = spark.createDataFrame(
+        [(20, "image", two_frame, "https://a.com/anim.gif", "image/gif"),
+         (21, "image", M.encode_gif(px), "https://a.com/still.gif", "image/gif")],
+        M.MEDIA_SCHEMA,
+    )
+    meta = {r["media_id"]: r for r in M.decode_meta(df).collect()}
+    assert (meta[20]["width"], meta[20]["height"]) == (5, 6)
+    assert meta[20]["n_frames"] == 2
+    assert meta[21]["n_frames"] == 1
+
+    rsz = {r["media_id"]: r for r in M.resize_images(df, 10, 3).collect()}
+    assert rsz[21]["decoded"]
+    back = M.decode_gif(bytes(rsz[21]["media"]))
+    assert back is not None and back.shape == (3, 10, 3)
+
+
+def test_gif_rejects():
+    assert M.decode_gif(b"") is None
+    assert M.decode_gif(b"GIF87a\x01") is None
+    assert M.decode_gif(b"not a gif") is None
+    assert M.gif_frame_count(b"nope") is None
