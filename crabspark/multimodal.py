@@ -9,8 +9,9 @@ signatures — with REAL codecs for the formats decodable without external
 libraries — 24-bit uncompressed BMP (pure numpy), 8-bit truecolor PNG
 (stdlib zlib, full none/sub/up/average/paeth unfiltering), GIF87a/89a
 (pure-python LZW, interlace + animation frame counts), PCM WAV (stdlib
-``wave``) — and a deterministic sha1-seeded FAKE for everything else
-(JPEG/MP4 need PIL/ffmpeg, absent in this environment; swapping the
+``wave``), plus REAL JPEG dimensions via an SOF marker walk — and a
+deterministic sha1-seeded FAKE only for JPEG pixels and video frames
+(entropy/frame decode needs PIL/ffmpeg, absent in this environment; swapping the
 fallback for them changes one function body; every signature, schema and
 ``mapInPandas`` batch contract stays as-is).
 
@@ -22,7 +23,8 @@ Operators:
                            decode, real animation frame counts)
 - ``encode_wav/decode_wav``  real PCM WAV codec (stdlib wave)
 - ``decode_meta``          binary -> (width, height, n_frames, duration_ms);
-                           REAL for BMP/PNG/GIF/WAV, fake fallback otherwise
+                           REAL for BMP/PNG/GIF/WAV + JPEG dimensions,
+                           fake fallback otherwise
 - ``image_features``       binary -> fixed-dim float vector; REAL color/
                            luma-histogram features for BMP/PNG/GIF
 - ``audio_features``       binary -> (rms, zero-cross, band energies) for WAV
@@ -426,6 +428,43 @@ def gif_frame_count(b: bytes) -> int | None:
         return None
 
 
+def jpeg_dimensions(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's SOF marker — a pure marker walk, no
+    pixel decode (entropy decode needs libjpeg; dimensions do not). Makes
+    decode_meta REAL for the web's most common image format."""
+    b = bytes(b or b"")
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    try:
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length
+                continue
+            ln = int.from_bytes(b[pos + 2: pos + 4], "big")
+            if ln < 2:
+                return None
+            # SOF0..SOF15 except DHT (C4), JPG (C8), DAC (CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > len(b):
+                    return None
+                h = int.from_bytes(b[pos + 5: pos + 7], "big")
+                w = int.from_bytes(b[pos + 7: pos + 9], "big")
+                return (w, h) if w > 0 and h > 0 else None
+            if marker == 0xDA:  # start of scan before any SOF: give up
+                return None
+            pos += 2 + ln
+    except (ValueError, IndexError):
+        return None
+    return None
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Mono 16-bit PCM WAV from an int16 sample array."""
     buf = io.BytesIO()
@@ -485,6 +524,10 @@ def decode_meta(df: DataFrame) -> DataFrame:
             # animated GIFs report their REAL frame count
             frames = (gif_frame_count(b) or 1) if fmt == "gif" else 1
             return img.shape[1], img.shape[0], frames, 0
+        if k == "image":
+            jd = jpeg_dimensions(b)  # real dims without pixel decode
+            if jd is not None:
+                return jd[0], jd[1], 1, 0
         if k == "audio":
             wav = decode_wav(b)
             if wav is not None:

@@ -368,3 +368,105 @@ def test_gif_rejects():
     assert M.decode_gif(b"GIF87a\x01") is None
     assert M.decode_gif(b"not a gif") is None
     assert M.gif_frame_count(b"nope") is None
+
+
+def test_jpeg_dimensions_marker_walk(media):
+    """Real JPEG width/height from the SOF marker (no pixel decode): a
+    hand-built minimal JPEG (SOI + APP0 + DQT + SOF0) reports its true
+    dimensions through decode_meta; progressive (SOF2) works too."""
+    import struct
+
+    def mk_jpeg(w, h, sof=0xC0):
+        app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        dqt = bytes(65)
+        sof0 = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        out = b"\xff\xd8"
+        out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+        out += bytes([0xFF, sof]) + struct.pack(">H", len(sof0) + 2) + sof0
+        out += b"\xff\xd9"
+        return out
+
+    assert M.jpeg_dimensions(mk_jpeg(640, 480)) == (640, 480)
+    assert M.jpeg_dimensions(mk_jpeg(31, 7, sof=0xC2)) == (31, 7)  # progressive
+    assert M.jpeg_dimensions(b"") is None
+    assert M.jpeg_dimensions(b"\xff\xd8\xff") is None
+    assert M.jpeg_dimensions(b"GIF87a") is None
+
+    spark, _ = media
+    df = spark.createDataFrame(
+        [(30, "image", mk_jpeg(1920, 1080), "https://a.com/x.jpg", "image/jpeg")],
+        M.MEDIA_SCHEMA,
+    )
+    m = M.decode_meta(df).collect()[0]
+    assert (m["width"], m["height"], m["n_frames"]) == (1920, 1080, 1)
+
+
+def test_codec_roundtrip_properties():
+    """Property-based round-trips (hypothesis): every real codec must
+    reproduce arbitrary valid pixel/sample arrays byte-exactly."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 24), st.integers(1, 24),
+        st.sampled_from([3, 4]), st.integers(0, 2**32 - 1),
+    )
+    def png_rt(h, w, c, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+        back = M.decode_png(M.encode_png(px))
+        assert back is not None and (back == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+    def bmp_rt(h, w, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        back = M.decode_bmp(M.encode_bmp(px))
+        assert back is not None and (back == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 24), st.integers(1, 24),
+        st.integers(1, 256), st.integers(0, 2**32 - 1),
+    )
+    def gif_rt(h, w, ncol, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, ncol, (h, w))]
+        back = M.decode_gif(M.encode_gif(px))
+        assert back is not None and (back == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 4096), st.integers(0, 2**32 - 1))
+    def wav_rt(n, seed):
+        x = np.random.default_rng(seed).integers(-32768, 32767, n).astype(np.int16)
+        dec = M.decode_wav(M.encode_wav(x))
+        assert dec is not None and (dec[0] == x).all()
+
+    png_rt()
+    bmp_rt()
+    gif_rt()
+    wav_rt()
+
+
+def test_codec_decoders_never_raise_on_garbage():
+    """Fuzz: arbitrary bytes must come back None from every decoder, never
+    an exception (a crawl feeds them raw web bytes)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=512))
+    def fuzz(b):
+        for prefix in (b"", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF87a",
+                       b"GIF89a", b"RIFF", b"\xff\xd8"):
+            blob = prefix + b
+            M.decode_bmp(blob)
+            M.decode_png(blob)
+            M.decode_gif(blob)
+            M.gif_frame_count(blob)
+            M.decode_wav(blob)
+            M.jpeg_dimensions(blob)
+
+    fuzz()
