@@ -164,7 +164,8 @@ class Engine:
                 self.round - 1,
                 {"total_visited": 0, "frontier_size": self.frontier_size,
                  "queued_seeds": sorted(self._queued_seeds),
-                 "frontier_folded_round": self.round - 1},
+                 "frontier_folded_round": self.round - 1,
+                 "frontier_seeded": True, "visited_at_fold": 0},
             )
 
     # ------------------------------------------------------------------
@@ -287,8 +288,14 @@ class Engine:
         the whole-crawl timeout elapses (the reference's watchdog,
         src/main.rs:82-98 — except we stop cleanly at a round boundary
         with everything committed, instead of dropping the thread)."""
+        # Bucketed existence must come from COMMITTED manifest state, not
+        # raw directory contents: a crash between the seed replace() and the
+        # init commit leaves physical seed files with no committed extras —
+        # dir-based exists() would skip re-init and resume half-initialized
+        # (ADVICE r3). replace() is idempotent, so re-seeding is safe.
         frontier_exists = (
-            self.bucketed_frontier.exists()
+            (self.bucketed_frontier.exists()
+             and bool(self.catalog.extra("frontier_seeded", False)))
             if self.bucketed_frontier is not None
             else self.catalog.exists("frontier")
         )
@@ -298,7 +305,9 @@ class Engine:
                 self.round - 1,
                 {"total_visited": self.total_visited,
                  "frontier_size": self.frontier_size,
-                 "queued_seeds": sorted(self._queued_seeds)},
+                 "queued_seeds": sorted(self._queued_seeds),
+                 "frontier_seeded": True,
+                 "visited_at_fold": self.total_visited},
             )
         started = time.monotonic()
         rounds_done = 0
@@ -333,6 +342,16 @@ class Engine:
         t0 = time.monotonic()
         cfg = self.cfg
         jobs0 = self._job_counter()
+        # Bucketed layout: the live-mask side (visits since the last fold)
+        # must stay broadcast-small. When the accumulated visit count since
+        # the fold outgrows the broadcast limit, fold NOW (physically apply
+        # the visits) instead of force-broadcasting an unbounded side — at
+        # 10^10-frontier scale a fold-period of large batches would blow the
+        # driver/broadcast limit and fail the round (ADVICE r3).
+        if self.bucketed_frontier is not None:
+            bound = self._visits_since_fold()
+            if bound is None or bound > self.cfg.fetch_broadcast_limit:
+                self._fold_frontier(r - 1)
         ops = self.catalog.read("visited_ops")
         frontier = self._live_frontier(ops)
         if frontier is None:
@@ -956,8 +975,18 @@ class Engine:
             visits = ops.filter(
                 (F.col("op") == "visit") & (F.col("round") > lc)
             ).select("url", "round")
+            # size-gate the mask broadcast: _round() folds before the mask
+            # side can outgrow the limit, so this normally broadcasts (and
+            # preserves the scan's host hash-partitioning — the politeness
+            # rank stays exchange-free). The defensive else-branch (resumed
+            # workdir mid-state) lets Spark plan a shuffle join instead of
+            # force-broadcasting an unbounded side.
+            bound = self._visits_since_fold()
+            mask_small = (
+                bound is not None and bound <= self.cfg.fetch_broadcast_limit
+            )
             return adds.join(
-                F.broadcast(visits),
+                F.broadcast(visits) if mask_small else visits,
                 (adds["canon"] == visits["url"])
                 & (visits["round"] > adds["added_round"]),
                 "left_anti",
@@ -982,6 +1011,14 @@ class Engine:
             .drop("__vmax")
         )
 
+    def _visits_since_fold(self) -> int | None:
+        """Upper bound on the live-mask side: visits accumulated since the
+        last physical fold (every batch row is exactly one visit op)."""
+        vat = self.catalog.extra("visited_at_fold")
+        if vat is None:
+            return None
+        return max(0, self.total_visited - int(vat))
+
     def _fold_frontier(self, r: int) -> None:
         """Physically drop visited rows and fold the delta chain to one
         file set — the amortized O(live) rewrite (every
@@ -990,16 +1027,21 @@ class Engine:
         live = self._live_frontier(self.catalog.read("visited_ops"))
         if live is None:
             return
+        extras = {
+            "frontier_folded_round": r,
+            # resets the mask-side bound _visits_since_fold() tracks
+            "visited_at_fold": self.total_visited,
+        }
         if self.bucketed_frontier is not None:
             # added_round values are preserved, so the committed-round read
             # mask stays valid; a crash mid-swap rolls forward from the
             # intent, and an uncommitted folded_round extra only widens the
             # (idempotent) visit mask
             self.bucketed_frontier.replace(live, r)
-            self.catalog.commit(r, {"frontier_folded_round": r})
+            self.catalog.commit(r, extras)
         else:
             self.catalog.overwrite("frontier", live, r)
-            self.catalog.commit(r, {"frontier_folded_round": r})
+            self.catalog.commit(r, extras)
             self.catalog.gc_superseded("frontier")
 
     # ------------------------------------------------------------------
@@ -1058,7 +1100,17 @@ class Engine:
             return 0
         try:
             if self.bucketed_frontier is not None:
-                self.bucketed_frontier.insert(new_rows, r - 1)
+                # guard: this insert lands at rnd == committed_round, so the
+                # round check alone cannot see a crash before the paired
+                # commit — recover() rolls it back while the committed
+                # high-water mark is still behind stream_mark (ADVICE r3)
+                self.bucketed_frontier.insert(
+                    new_rows, r - 1,
+                    guard={
+                        "key": "ingested_candidates_batch",
+                        "value": stream_mark,
+                    },
+                )
             else:
                 self.catalog.append("frontier", new_rows, r - 1)
             new_seen = new_rows.select(

@@ -48,6 +48,10 @@ def _positions(sha1_hex: np.ndarray, m: int, k: int) -> np.ndarray:
     if len(s) == 0:
         return np.zeros((0, k), dtype=np.int64)
     codes = s.view(np.uint32).reshape(len(s), -1)[:, :30].astype(np.int64)
+    # OR 0x20 folds 'A'-'F' onto 'a'-'f' (digits already have bit 5 set),
+    # so uppercase sha1 hex decodes identically instead of silently
+    # wrapping negative under uint64 and probing wrong bloom bits
+    codes |= 0x20
     nib = np.where(codes > ord("9"), codes - ord("a") + 10, codes - ord("0"))
     nib = nib.astype(np.uint64)
     pw = np.array([16] * 15, dtype=np.uint64) ** np.arange(

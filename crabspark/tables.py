@@ -44,10 +44,12 @@ class Catalog:
 
     # Manifest format version. Bump when a table schema or required extra
     # changes incompatibly (v2: frontier.added_round, metrics.frontier_size,
-    # fetched.ua, extras.queued_seeds / frontier_folded_round). Resuming a
+    # fetched.ua, extras.queued_seeds / frontier_folded_round; v3:
+    # extras.frontier_seeded gates bucketed-seed-init commit state,
+    # extras.visited_at_fold bounds the live-frontier mask side). Resuming a
     # workdir written by an older format fails HERE with a clear message
     # instead of mid-round with a missing-column AnalysisException.
-    FORMAT_VERSION = 2
+    FORMAT_VERSION = 3
 
     # --- manifest ---
     def _load(self) -> dict:
@@ -258,9 +260,16 @@ class BucketedFrontier:
         tag = hashlib.sha1(catalog.root.encode()).hexdigest()[:12]
         self.table = f"crabspark_frontier_{tag}"
         self.stage_table = f"crabspark_frontier_stage_{tag}"
+        # crash-matrix test hook: set to a step name to abort just after
+        # that step executes (simulated kill); always None in production
+        self._kill_at: str | None = None
         os.makedirs(self.dir, exist_ok=True)
         self._register(self.table, self.dir)
         self.recover()
+
+    def _maybe_kill(self, step: str) -> None:
+        if self._kill_at == step:
+            raise RuntimeError(f"simulated crash at {step}")
 
     def _register(self, name: str, location: str) -> None:
         self.spark.sql(
@@ -298,9 +307,27 @@ class BucketedFrontier:
         so the directory matches the last committed manifest state."""
         intent = self._read_intent()
         if intent is None:
+            # a stage dir with no intent is an abandoned fold staging
+            # (crash before the intent became durable): pure garbage
+            shutil.rmtree(self.stage_dir, ignore_errors=True)
             return
         if intent.get("op") == "insert":
-            if intent["round"] > self.catalog.committed_round:
+            # An insert is uncommitted when its round is past the manifest,
+            # OR when its guard extra (a manifest key the paired commit was
+            # going to advance — e.g. the streaming-ingest high-water mark,
+            # which inserts at rnd == committed_round) is still behind the
+            # value the intent recorded. Without the guard, a crash between
+            # an ingest insertInto and catalog.commit would KEEP the
+            # physically-inserted frontier rows while dropping the paired
+            # seen delta + bloom snapshot + high-water mark — re-ingesting
+            # the same stream batch as duplicates and breaking the
+            # "every frontier row except seeds is in seen" invariant.
+            guard = intent.get("guard")
+            uncommitted = intent["round"] > self.catalog.committed_round or (
+                guard is not None
+                and int(self.catalog.extra(guard["key"], -1)) < int(guard["value"])
+            )
+            if uncommitted:
                 keep = set(intent["keep"])
                 for f in self._files(self.dir):
                     if f not in keep:
@@ -339,14 +366,21 @@ class BucketedFrontier:
         return bool(self._files(self.dir))
 
     # --- writes (intent-guarded; finish_round()/rollback() must follow) ---
-    def insert(self, df: DataFrame, rnd: int) -> None:
+    def insert(self, df: DataFrame, rnd: int, guard: dict | None = None) -> None:
         """Append one round's adds. The intent snapshot lets rollback (or
-        crash recovery) delete exactly the files this insert created."""
-        self._write_intent(
-            {"op": "insert", "round": rnd, "keep": self._files(self.dir)}
-        )
+        crash recovery) delete exactly the files this insert created.
+        ``guard`` = {"key", "value"}: commit-confirmation for inserts whose
+        rnd does not exceed committed_round (streaming ingest) — recover()
+        rolls the insert back while the manifest extra ``key`` is still
+        below ``value`` (see recover())."""
+        intent = {"op": "insert", "round": rnd, "keep": self._files(self.dir)}
+        if guard is not None:
+            intent["guard"] = guard
+        self._write_intent(intent)
+        self._maybe_kill("insert-intent")
         cols = [c.split(" ")[0] for c in self.DDL_COLUMNS.split(", ")]
         df.select(*cols).write.insertInto(self.table)
+        self._maybe_kill("insert-done")
 
     def finish_round(self) -> None:
         """Call after the catalog manifest commit: the insert is durable."""
@@ -378,15 +412,21 @@ class BucketedFrontier:
         cols = [c.split(" ")[0] for c in self.DDL_COLUMNS.split(", ")]
         df.select(*cols).write.insertInto(self.stage_table)
         new_files = self._files(self.stage_dir)
+        self._maybe_kill("fold-staged")
         self._write_intent(
             {"op": "fold", "round": rnd, "new_files": new_files}
         )
+        self._maybe_kill("fold-intent")
         for f in self._files(self.dir):
             os.remove(os.path.join(self.dir, f))
-        for f in new_files:
+        self._maybe_kill("fold-old-deleted")
+        for i, f in enumerate(new_files):
             os.replace(
                 os.path.join(self.stage_dir, f), os.path.join(self.dir, f)
             )
+            if i == 0:
+                self._maybe_kill("fold-one-moved")
+        self._maybe_kill("fold-moved")
         os.remove(self.intent_path)
         shutil.rmtree(self.stage_dir, ignore_errors=True)
         self.spark.sql(f"DROP TABLE IF EXISTS {self.stage_table}")

@@ -111,15 +111,32 @@ def blocked_join_udf(user_agents: list[str], respect_robots: bool):
     return _blocked
 
 
+def _trim_body_one(b):
+    """C5 body trim, Unicode-parity version. The reference stores
+    body.trim() (Rust str::trim, src/http.rs:37), which trims *Unicode*
+    whitespace of an always-valid-UTF-8 String. Here bodies are raw bytes:
+    ASCII-strip first (cheap, byte-safe), then — only when a stripped edge
+    byte is >= 0x80, i.e. could be multibyte whitespace like U+00A0/U+3000
+    — decode-trim-reencode. Invalid UTF-8 keeps the byte-safe ASCII trim
+    (documented deviation: a round trip would corrupt it with U+FFFD)."""
+    if b is None:
+        return None
+    s = bytes(b).strip()
+    if s and (s[0] >= 0x80 or s[-1] >= 0x80):
+        try:
+            s = s.decode("utf-8").strip().encode("utf-8")
+        except UnicodeDecodeError:
+            pass
+    return s
+
+
 def trim_body_udf():
-    """C5 body trim without a UTF-8 round trip: ``bytes.strip()`` on the
-    raw body (reference stores body.trim(), src/http.rs:37). A CAST to
-    STRING and back would replace invalid UTF-8 bytes with U+FFFD,
-    corrupting non-UTF-8 page bodies beyond the intended whitespace trim."""
+    """C5 body trim without an unconditional UTF-8 round trip — see
+    ``_trim_body_one`` for the Rust-``str::trim`` parity contract."""
 
     @F.pandas_udf("binary")
     def _trim(html: pd.Series) -> pd.Series:
-        return html.map(lambda b: None if b is None else bytes(b).strip())
+        return html.map(_trim_body_one)
 
     return _trim
 

@@ -276,3 +276,115 @@ def test_bucketed_ingest_and_resume(spark, data, tmp_path_factory):
     urls = [r["url"] for r in vl]
     dupes = {u for u in urls if urls.count(u) > 1}
     assert dupes <= {"mega1.com"}, dupes
+
+
+SCHEMA = (
+    "url string, canon string, sha1 string, host string, "
+    "referrer string, priority string, depth int, added_round int"
+)
+
+
+def _baseline(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "wd"), spark)
+    bf = BucketedFrontier(cat, 4)
+    rows = [
+        (f"u{i}", f"c{i}", f"s{i}", f"h{i % 3}.org", "r", f"{i:04d}", 0, 0)
+        for i in range(6)
+    ]
+    bf.insert(spark.createDataFrame(rows, SCHEMA), 0)
+    cat.commit(0)
+    bf.finish_round()
+    return cat, bf
+
+
+# (kill step, op, expected committed-visible state after recover)
+KILL_MATRIX = [
+    ("insert-intent", "insert", "baseline"),
+    ("insert-done", "insert", "baseline"),
+    ("fold-staged", "fold", "baseline"),  # no intent yet: stage is garbage
+    ("fold-intent", "fold", "folded"),    # intent durable: roll FORWARD
+    ("fold-old-deleted", "fold", "folded"),
+    ("fold-one-moved", "fold", "folded"),
+    ("fold-moved", "fold", "folded"),
+]
+
+
+@pytest.mark.parametrize("step,op,expected", KILL_MATRIX)
+def test_crash_matrix_kill_points(spark, tmp_path, step, op, expected):
+    """Kill the process at every mutation step of insert/fold; a fresh
+    catalog + frontier must recover to a deterministic state: exactly the
+    last committed rows (kill before the intent is durable) or exactly
+    the folded set (intent durable: roll forward). VERDICT r3 item 8."""
+    cat, bf = _baseline(spark, tmp_path)
+    folded = [f"c{i}" for i in range(0, 6, 2)]
+    bf._kill_at = step
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        if op == "insert":
+            bf.insert(
+                spark.createDataFrame(
+                    [("u9", "c9", "s9", "z.org", "r", "0009", 1, 1)], SCHEMA
+                ),
+                1,
+            )
+        else:
+            live = bf.read().filter(F.col("canon").isin(folded))
+            bf.replace(live, 1)
+    # resume: fresh objects replay recover()
+    cat2 = Catalog(str(tmp_path / "wd"), spark)
+    bf2 = BucketedFrontier(cat2, 4)
+    got = sorted(r["canon"] for r in bf2.read().collect())
+    if expected == "baseline":
+        assert got == [f"c{i}" for i in range(6)]
+    else:
+        assert got == folded
+    assert not os.path.exists(bf2.intent_path)
+    assert not os.path.exists(bf2.stage_dir)
+
+
+def test_ingest_guard_rolls_back_unconfirmed_insert(spark, tmp_path):
+    """ADVICE r3 (high): a streaming-ingest insert lands at
+    rnd == committed_round, so the round check alone cannot detect a crash
+    before the paired commit. The guard (stream high-water mark recorded
+    in the intent) must roll it back — and a confirmed insert with the
+    same guard must survive."""
+    cat, bf = _baseline(spark, tmp_path)
+    orphan = spark.createDataFrame(
+        [("u9", "c9", "s9", "z.org", "r", "0009", 0, 0)], SCHEMA
+    )
+    guard = {"key": "ingested_candidates_batch", "value": 5}
+    bf.insert(orphan, 0, guard=guard)  # crash: no commit, no finish_round
+    cat2 = Catalog(str(tmp_path / "wd"), spark)
+    bf2 = BucketedFrontier(cat2, 4)
+    got = sorted(r["canon"] for r in bf2.read().collect())
+    assert got == [f"c{i}" for i in range(6)]  # orphan rolled back
+    # same insert, this time the paired commit confirms the mark
+    bf2.insert(orphan, 0, guard=guard)
+    cat2.commit(0, {"ingested_candidates_batch": 5})
+    bf2.finish_round()
+    cat3 = Catalog(str(tmp_path / "wd"), spark)
+    bf3 = BucketedFrontier(cat3, 4)
+    got = sorted(r["canon"] for r in bf3.read().collect())
+    assert got == [f"c{i}" for i in range(6)] + ["c9"]
+
+
+def test_seed_init_crash_reseeds_on_resume(spark, data, tmp_path_factory):
+    """ADVICE r3 (medium): a crash between the bucketed seed replace()
+    and the init commit leaves physical seed files but no committed
+    'frontier_seeded' extra; run() must re-seed (idempotent) instead of
+    trusting directory contents and silently terminating."""
+    work = str(tmp_path_factory.mktemp("bkt_initcrash"))
+    cfg = _cfg(8)
+    eng = Engine(
+        spark, cfg, work,
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    eng._init_frontier()  # seed files hit disk... and we "crash" pre-commit
+    assert eng.bucketed_frontier.exists()
+    eng2 = Engine(
+        spark, cfg, work,
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    res = eng2.run(max_rounds=2)
+    assert res["visited"] > 0  # re-seeded and crawled, not a silent stop

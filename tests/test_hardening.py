@@ -142,3 +142,21 @@ def test_trim_preserves_non_utf8_bytes():
     df = spark.createDataFrame([(bytearray(raw),)], "html binary")
     out = df.select(udfs.trim_body_udf()(df.html).alias("t")).collect()
     assert bytes(out[0]["t"]) == raw.strip()
+
+
+def test_trim_unicode_whitespace_parity():
+    """C5 parity with Rust str::trim (src/http.rs:37): valid-UTF-8 bodies
+    padded with Unicode whitespace (U+00A0, U+3000, U+2028) trim clean;
+    invalid UTF-8 keeps the byte-safe ASCII trim."""
+    from crabspark.udfs import _trim_body_one
+
+    body = " 　 <html>x</html>   ".encode()
+    assert _trim_body_one(body) == b"<html>x</html>"
+    # plain ASCII padding: fast path, no decode
+    assert _trim_body_one(b"  <p>y</p> \r\n") == b"<p>y</p>"
+    # invalid UTF-8 edges survive byte-identically apart from ASCII trim
+    raw = b" \xff\x80bin\xfe "
+    assert _trim_body_one(raw) == raw.strip()
+    assert _trim_body_one(None) is None
+    # interior unicode whitespace is never touched
+    assert _trim_body_one("a b".encode()) == "a b".encode()

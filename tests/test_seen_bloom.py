@@ -75,3 +75,22 @@ def test_load_keeps_saved_geometry(tmp_path):
     b2 = Bloom.load(p, capacity=4_000_000, fpp=0.001)  # different config
     assert (b2.m, b2.k) == (b.m, b.k)
     assert b2.might_contain(pd.Series(keys)).all()  # no false negatives
+
+
+def test_uppercase_hex_probes_same_bits():
+    """sha1 hex may arrive uppercase (external feeds): the vectorized
+    nibble decode must fold case, not wrap negative under uint64 and
+    probe garbage bit positions."""
+    from crabspark.seen import _positions
+
+    digests = [
+        hashlib.sha1(f"u{i}".encode()).hexdigest() for i in range(50)
+    ]
+    lo = _positions(np.array(digests, dtype="U40"), 1 << 16, 4)
+    hi = _positions(
+        np.array([d.upper() for d in digests], dtype="U40"), 1 << 16, 4
+    )
+    assert (lo == hi).all()
+    b = Bloom(1000, 0.01)
+    b.add_array(np.array([d.upper() for d in digests]))
+    assert b.might_contain(pd.Series(digests)).all()
