@@ -118,6 +118,14 @@ class Config:
     # scale path for 10^10-row frontiers; 0 keeps the plain delta-chain
     # layout (any Spark session, no session-catalog tables).
     frontier_buckets: int = 0
+    # auto-migration to the bucketed layout: when frontier_buckets == 0 and
+    # the driver's frontier-size estimate crosses the threshold mid-crawl,
+    # the engine folds the delta-chain frontier into a host-bucketed table
+    # (frontier_auto_buckets buckets) and stays there — small crawls never
+    # pay the session-catalog table cost, big ones get the shuffle-free
+    # politeness rank without opting in. 0 disables auto-migration.
+    frontier_auto_buckets: int = 64
+    frontier_auto_bucket_threshold: int = 1_000_000
     # Arrow batch rows for the pandas-UDF stages. html blobs are multi-KB,
     # so Spark's default 10k-row batches balloon to 100+ MB of Python-side
     # objects per concurrent worker; with 32 workers the extract stage

@@ -101,6 +101,17 @@ class Engine:
             self.bucketed_frontier = BucketedFrontier(
                 self.catalog, cfg.frontier_buckets
             )
+        else:
+            # a previous run may have auto-migrated this store to the
+            # bucketed layout (frontier size crossed the threshold); the
+            # committed extra — not the config — is the source of truth
+            nb = self.catalog.extra("frontier_bucketed_n")
+            if nb:
+                from crabspark.tables import BucketedFrontier
+
+                self.bucketed_frontier = BucketedFrontier(
+                    self.catalog, int(nb)
+                )
         self.pages = spark.read.parquet(pages_path)
         # url-hash-bucketed pages layout (tables.bucketize_pages): the
         # fetch join prunes the scan to the batch's bucket partitions
@@ -919,6 +930,16 @@ class Engine:
             f" / write+commit {time.monotonic() - t_judged:.1f}, "
             f"jobs {self._job_counter() - jobs0})"
         )
+        # auto-migrate to the host-bucketed layout once the frontier is big
+        # enough that the politeness-rank shuffle dominates (the committed
+        # extra makes the migration sticky across resumes)
+        if (
+            self.bucketed_frontier is None
+            and self.cfg.frontier_auto_buckets
+            and self.frontier_size is not None
+            and self.frontier_size >= self.cfg.frontier_auto_bucket_threshold
+        ):
+            self._migrate_to_bucketed(r)
         # keep merge-on-read cost flat: fold long delta chains periodically
         # (the Iceberg rewrite_data_files analogue)
         for t in ("visited_ops", "seen", "edges", "fetched", "metrics", "images"):
@@ -951,6 +972,45 @@ class Engine:
         return True
 
     # ------------------------------------------------------------------
+    def _migrate_to_bucketed(self, r: int) -> None:
+        """Fold the delta-chain frontier into a host-bucketed table
+        mid-crawl (equivalent to a physical fold, so added_round values and
+        the visit mask stay valid). Crash-safe: until the commit publishes
+        ``frontier_bucketed_n``, resume keeps reading the untouched
+        delta-chain (the overwrite below stays staged), and orphan bucketed
+        files are rewritten by the next migration attempt."""
+        from crabspark.tables import BucketedFrontier
+
+        try:
+            bf = BucketedFrontier(
+                self.catalog, self.cfg.frontier_auto_buckets
+            )
+        except Exception as e:  # session without catalog support
+            self._debug_log(f"auto-bucket unavailable, staying flat: {e}")
+            self.cfg.frontier_auto_buckets = 0
+            return
+        live = self._live_frontier(self.catalog.read("visited_ops"))
+        if live is None:
+            return
+        bf.replace(live, r)
+        # retire the delta-chain table (logical truncate; GC'd post-commit)
+        self.catalog.overwrite("frontier", self._empty(FRONTIER_SCHEMA), r)
+        self.catalog.commit(
+            r,
+            {
+                "frontier_bucketed_n": self.cfg.frontier_auto_buckets,
+                "frontier_folded_round": r,
+                "visited_at_fold": self.total_visited,
+                "frontier_seeded": True,
+            },
+        )
+        self.bucketed_frontier = bf
+        self.catalog.gc_superseded("frontier")
+        self._debug_log(
+            f"frontier auto-migrated to {self.cfg.frontier_auto_buckets} "
+            f"host buckets at ~{self.frontier_size} rows"
+        )
+
     def _live_frontier(self, ops: DataFrame | None) -> DataFrame | None:
         """Merge-on-read view of the adds-only frontier: a row is live iff
         no LATER round visited its canon. ``max(visit round) <= added_round``
@@ -1198,18 +1258,32 @@ class Engine:
         # NEWLY-bad nodes (not the whole accumulated set) — per-step work
         # shrinks with the delta instead of re-scanning O(|bad|) matches,
         # so total work is O(edges × graph depth) worst case but O(edges +
-        # Σ|delta|) in the common shallow-crawl case.
-        delta = bad
-        while True:
-            new_bad = (
+        # Σ|delta|) in the common shallow-crawl case. TWO levels propagate
+        # per loop iteration, halving the per-iteration driver actions
+        # (isEmpty + checkpoint each cost a full job-floor latency; the
+        # extra lazy join for an already-empty level is free).
+        def _parents_of(d):
+            return (
                 last_edges.join(
-                    delta.withColumnRenamed("url", "child"), "child", "inner"
+                    d.withColumnRenamed("url", "child"), "child", "inner"
                 )
                 .select(F.col("parent").alias("url"))
                 .distinct()
                 .join(bad, "url", "left_anti")
             )
-            delta = new_bad.localCheckpoint(eager=False)
+
+        # ancestor chains cannot exceed the crawl depth when it is bounded
+        max_loops = (
+            None if self.cfg.max_depth is None
+            else self.cfg.max_depth // 2 + 1
+        )
+        delta = bad
+        loops = 0
+        while max_loops is None or loops < max_loops:
+            loops += 1
+            lvl1 = _parents_of(delta).localCheckpoint(eager=False)
+            lvl2 = _parents_of(lvl1).join(lvl1, "url", "left_anti")
+            delta = lvl1.unionByName(lvl2).localCheckpoint(eager=False)
             if delta.isEmpty():
                 break
             bad = bad.unionByName(delta).localCheckpoint()

@@ -493,6 +493,99 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int] | None:
 
 
 
+def _iter_boxes(buf: memoryview, start: int, end: int):
+    """Yield (type, payload_start, box_end) for ISO-BMFF boxes in
+    [start, end): [size:u32][type:4]; size==1 -> u64 largesize follows;
+    size==0 -> box extends to the container's end (ISO/IEC 14496-12 §4.2).
+    Malformed sizes terminate the walk instead of raising."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        typ = bytes(buf[off + 4:off + 8])
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+_BMFF_TOP_TYPES = (b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide")
+
+
+def mp4_metadata(b: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL MP4/ISO-BMFF metadata without ffmpeg — the same trick as the
+    JPEG SOF marker walk: (width, height, n_frames, duration_ms, n_tracks)
+    from the moov atom tree (public spec ISO/IEC 14496-12):
+
+    - ``mvhd`` movie header -> duration/timescale (v0 and v1 layouts);
+    - each ``trak``'s ``tkhd`` -> 16.16 fixed-point presentation width/
+      height (non-zero only on video tracks);
+    - the video trak's ``stbl/stsz`` sample count -> real frame count.
+
+    Pixel decode still needs a codec (``sample_frames`` stays an honest
+    stub); everything here is header arithmetic."""
+    if not b:
+        return None
+    buf = memoryview(bytes(b))
+    if len(buf) < 12 or bytes(buf[4:8]) not in _BMFF_TOP_TYPES:
+        return None
+    moov = next(
+        ((s, e) for t, s, e in _iter_boxes(buf, 0, len(buf)) if t == b"moov"),
+        None,
+    )
+    if moov is None:
+        return None
+    dur_ms = n_tracks = width = height = n_frames = 0
+    for typ, s, e in _iter_boxes(buf, *moov):
+        if typ == b"mvhd" and s + 4 <= e:
+            v = buf[s]
+            if v == 1 and s + 32 <= e:
+                ts = int.from_bytes(buf[s + 20:s + 24], "big")
+                dur = int.from_bytes(buf[s + 24:s + 32], "big")
+            elif v == 0 and s + 20 <= e:
+                ts = int.from_bytes(buf[s + 12:s + 16], "big")
+                dur = int.from_bytes(buf[s + 16:s + 20], "big")
+            else:
+                continue
+            if ts:
+                dur_ms = dur * 1000 // ts
+        elif typ == b"trak":
+            n_tracks += 1
+            tw = th = frames = 0
+            for t2, s2, e2 in _iter_boxes(buf, s, e):
+                if t2 == b"tkhd" and s2 + 4 <= e2:
+                    # payload: ver1 flags3, then v0: c4 m4 id4 r4 dur4 (24)
+                    # / v1: c8 m8 id4 r4 dur8 (36); then r8 layer2 alt2
+                    # vol2 r2 matrix36 (52); then width4 height4 (16.16)
+                    wo = s2 + (36 if buf[s2] == 1 else 24) + 52
+                    if wo + 8 <= e2:
+                        tw = int.from_bytes(buf[wo:wo + 4], "big") >> 16
+                        th = int.from_bytes(buf[wo + 4:wo + 8], "big") >> 16
+                elif t2 == b"mdia":
+                    for t3, s3, e3 in _iter_boxes(buf, s2, e2):
+                        if t3 != b"minf":
+                            continue
+                        for t4, s4, e4 in _iter_boxes(buf, s3, e3):
+                            if t4 != b"stbl":
+                                continue
+                            for t5, s5, e5 in _iter_boxes(buf, s4, e4):
+                                if t5 == b"stsz" and s5 + 12 <= e5:
+                                    frames = int.from_bytes(
+                                        buf[s5 + 8:s5 + 12], "big"
+                                    )
+            if tw and th and tw >= width:
+                width, height = tw, th
+                n_frames = frames
+    return width, height, max(n_frames, 1), dur_ms, n_tracks
+
+
 def _seed(b: bytes) -> np.random.Generator:
     h = hashlib.sha1(bytes(b or b"")).digest()
     return np.random.default_rng(int.from_bytes(h[:8], "big"))
@@ -533,6 +626,10 @@ def decode_meta(df: DataFrame) -> DataFrame:
             if wav is not None:
                 samples, rate = wav
                 return 0, 0, 1, int(len(samples) * 1000 / rate)
+        if k == "video":
+            m = mp4_metadata(b)  # real moov-walk dims/frames/duration
+            if m is not None:
+                return m[0], m[1], m[2], m[3]
         return _fake_meta(b, k)
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -706,7 +803,11 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, b, kind in zip(pdf["media_id"], pdf["media"], pdf["kind"]):
                 if kind != "video":
                     continue
-                _, _, n_frames, _ = _fake_meta(b, kind)
+                m = mp4_metadata(b)
+                if m is not None:
+                    n_frames = m[2]  # real stsz sample count
+                else:
+                    _, _, n_frames, _ = _fake_meta(b, kind)
                 for fi in range(0, n_frames, every_n):
                     ids.append(mid)
                     idxs.append(fi)

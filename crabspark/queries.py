@@ -466,8 +466,16 @@ def _lsh_shingle_pairs(spark, sf_dir, shingle_expr, n_bands, n_rows, thresh):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verify stage ships xxhash64(shingle) int64 arrays, NOT the raw string
+    # arrays: Jaccard over hashed shingles is identical absent collisions
+    # (p < |sh|^2 / 2^64 per doc) and the candidate-join shuffle carries
+    # fixed-width ints — ~10x fewer bytes than multi-word string shingles.
+    # String-exact equivalence is pinned by test_hashed_verify_matches_exact.
+    shh = sh.select(
+        "doc_id", F.expr("transform(sh, x -> xxhash64(x))").alias("sh")
+    )
+    sa = shh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     out = cand.join(sa, "doc_a").join(sb, "doc_b")
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b"))
@@ -564,26 +572,34 @@ SQL_NGRAM_JACCARD = _sql_lsh_shingle_pairs(
 )
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: connected components over the MinHash-LSH
-    verified pair graph (jaccard >= 0.8), label = min doc_id reachable —
-    the 'keep one canonical doc per cluster' step of a dedup pipeline.
-    Spark side is iterative min-label propagation to fixpoint (bounded by
-    cluster diameter; near-dup clusters are tiny, so 2-3 rounds); docs in
-    no pair are their own cluster. The DuckDB oracle is the equivalent
-    recursive-CTE reachability closure."""
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
+def connected_components(pairs, max_iter: int = 64):
+    """Min-label connected components over an undirected pair graph
+    (columns doc_a, doc_b) — returns (labels_df(doc_id, cluster_id),
+    n_iterations) covering ONLY nodes that appear in some pair.
+
+    Each iteration does one min-label propagation along edges PLUS one
+    pointer-jumping step (label := label-of-label). Propagation alone
+    converges in O(diameter) rounds — fatal for the giant chained-shingle
+    boilerplate components real web corpora produce (diameter 10^3+);
+    the shortcut squares label reach, giving O(log diameter) rounds
+    (14 iterations for a 10k-node chain, pinned by
+    test_dedup_cluster_chain_converges_fast). Invariant kept by both
+    steps: cluster_id is always a <=-current member of the node's own
+    component, so the fixpoint is the component minimum. Per-iteration
+    cost: two joins + one partial-agg shuffle over O(edges); one tiny
+    driver action for the convergence check."""
+    edges = pairs.select("doc_a", "doc_b").unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint()  # the loop re-reads edges every iteration
     labels = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    while True:
+    for it in range(1, max_iter + 1):
         prop = edges.join(
             labels, edges["doc_a"] == labels["doc_id"], "inner"
         ).select(F.col("doc_b").alias("doc_id"), "cluster_id")
@@ -591,6 +607,19 @@ def q_dedup_clusters(spark, sf_dir):
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jumping: labels are doc_ids, so resolve one level of
+        # indirection through the label table itself
+        lut = new.select(
+            F.col("doc_id").alias("__cid"),
+            F.col("cluster_id").alias("__cid2"),
+        )
+        new = (
+            new.join(lut, new["cluster_id"] == lut["__cid"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("__cid2", "cluster_id").alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -601,7 +630,27 @@ def q_dedup_clusters(spark, sf_dir):
         )
         labels = new
         if changed == 0:
-            return labels
+            return labels, it
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    verified pair graph (jaccard >= 0.8), label = min doc_id reachable —
+    the 'keep one canonical doc per cluster' step of a dedup pipeline.
+    The iteration runs over edge-touching nodes ONLY (at corpus scale the
+    overwhelming majority of docs are in no near-dup pair and skip the
+    loop entirely); singletons join back as their own cluster at the end.
+    The DuckDB oracle is the equivalent recursive-CTE reachability
+    closure."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
 
 
 SQL_DEDUP_CLUSTERS = f"""

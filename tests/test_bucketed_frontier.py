@@ -388,3 +388,41 @@ def test_seed_init_crash_reseeds_on_resume(spark, data, tmp_path_factory):
     )
     res = eng2.run(max_rounds=2)
     assert res["visited"] > 0  # re-seeded and crawled, not a silent stop
+
+
+def test_auto_bucket_migration_mid_crawl(both, spark, data, tmp_path_factory):
+    """frontier_buckets=0 + auto threshold: the engine must migrate to the
+    bucketed layout mid-crawl once the frontier estimate crosses the
+    threshold, produce the identical visit log / seen set (the layout
+    invariant), stay migrated across a resume, and record the committed
+    extra that makes the migration sticky. VERDICT r3 item 7."""
+    _, log_d, seen_d = both["delta"]
+    work = str(tmp_path_factory.mktemp("work_autobkt"))
+    cfg = _cfg(0)
+    cfg.frontier_auto_buckets = 8
+    cfg.frontier_auto_bucket_threshold = 10  # fixture frontier peaks ~12
+    eng = Engine(
+        spark, cfg, work,
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    eng.run()
+    assert eng.bucketed_frontier is not None, "migration never triggered"
+    assert eng.catalog.extra("frontier_bucketed_n") == 8
+    h = hashlib.md5()
+    for row in eng.visit_log().select("round", "priority", "url").collect():
+        h.update(f"{row['round']}|{row['priority']}|{row['url']}\n".encode())
+    seen = hashlib.md5(
+        "\n".join(sorted(r["url"] for r in eng.read_seen().collect())).encode()
+    ).hexdigest()
+    assert h.hexdigest() == log_d
+    assert seen == seen_d
+    # resume re-opens the bucketed store from the committed extra, with the
+    # plain config (frontier_buckets=0)
+    eng2 = Engine(
+        spark, _cfg(0), work,
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    assert eng2.bucketed_frontier is not None
+    assert eng2.total_visited == eng.total_visited

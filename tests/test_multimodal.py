@@ -470,3 +470,70 @@ def test_codec_decoders_never_raise_on_garbage():
             M.jpeg_dimensions(blob)
 
     fuzz()
+
+
+# --- MP4 / ISO-BMFF metadata (real moov atom walk, no ffmpeg) ---
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _build_mp4(w, h, frames, dur, timescale=1000, v1=False, video=True):
+    """Minimal spec-shaped MP4: ftyp + moov(mvhd, trak(tkhd, mdia/minf/
+    stbl/stsz)) + mdat. Layouts per ISO/IEC 14496-12 (v0 and v1 headers)."""
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(
+            4, "big") + dur.to_bytes(8, "big") + b"\x00" * 80
+    else:
+        mvhd = bytes(4) + b"\x00" * 8 + timescale.to_bytes(
+            4, "big") + dur.to_bytes(4, "big") + b"\x00" * 80
+    wh = ((w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+          if video else bytes(8))
+    tkhd = bytes(4) + b"\x00" * 20 + b"\x00" * 52 + wh
+    stsz = bytes(4) + (0).to_bytes(4, "big") + frames.to_bytes(4, "big")
+    mdia = _box(b"minf", _box(b"stbl", _box(b"stsz", stsz)))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + _box(
+        b"mdat", b"\x00" * 32)
+
+
+def test_mp4_metadata_atom_walk():
+    got = M.mp4_metadata(_build_mp4(640, 360, 240, 9500))
+    assert got == (640, 360, 240, 9500, 1)
+    # version-1 (64-bit) headers, non-1000 timescale
+    got = M.mp4_metadata(_build_mp4(1920, 1080, 50, 90000, timescale=600, v1=True))
+    assert got == (1920, 1080, 50, 90000 * 1000 // 600, 1)
+    # audio-only track: no dimensions, still counted
+    got = M.mp4_metadata(_build_mp4(0, 0, 0, 2000, video=False))
+    assert got == (0, 0, 1, 2000, 1)
+    assert M.mp4_metadata(b"") is None
+    assert M.mp4_metadata(b"\x00" * 64) is None
+    assert M.mp4_metadata(None) is None
+
+
+def test_mp4_decode_meta_and_sample_frames(media):
+    spark, _ = media
+    mp4 = _build_mp4(320, 240, 25, 12_000)
+    df = spark.createDataFrame(
+        [(7, "video", mp4, "https://a.com/r.mp4", "video/mp4")],
+        M.MEDIA_SCHEMA,
+    )
+    meta = M.decode_meta(df).collect()[0]
+    assert (meta["width"], meta["height"]) == (320, 240)
+    assert meta["n_frames"] == 25
+    assert meta["duration_ms"] == 12_000
+    frames = M.sample_frames(df, every_n=10).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
+
+
+def test_mp4_metadata_never_raises_on_garbage():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=256))
+    def fuzz(b):
+        for prefix in (b"", b"\x00\x00\x00\x14ftyp", b"\x00\x00\x00\x08moov"):
+            M.mp4_metadata(prefix + b)
+
+    fuzz()

@@ -61,3 +61,50 @@ def test_query_matches_oracle(spark, duck, name):
             "driver string-hash would mismatch"
         )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-4)
+
+
+def test_dedup_cluster_chain_converges_fast(spark):
+    """A 10k-node chain of pairwise near-dups (boilerplate chains are real
+    at web scale: doc_i ~ doc_{i+1} via shared shingles). Plain min-label
+    propagation needs O(diameter)=10^4 rounds; the pointer-jumping step
+    must bring it to O(log d) <= 15 iterations, all labeled by the chain
+    minimum. VERDICT r3 item 3."""
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    labels, iters = Q.connected_components(pairs)
+    assert iters <= 15, f"took {iters} iterations"
+    got = labels.toPandas()
+    assert len(got) == n
+    assert (got["cluster_id"] == 0).all()
+
+
+def test_dedup_cluster_forest_and_singletons(spark):
+    """Mixed graph: two components + ring + untouched nodes stay out of
+    connected_components' domain (singletons are handled by the caller)."""
+    rows = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    labels, iters = Q.connected_components(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert iters <= 5
+
+
+def test_hashed_verify_matches_exact(spark):
+    """The LSH verify stage computes Jaccard over xxhash64-hashed shingle
+    arrays; pin string-exact equivalence on the real corpus (collisions
+    would need ~2^32 shingles per doc to matter)."""
+    from pyspark.sql import functions as F
+
+    d = Q._t(spark, SF_DIR, "documents").select(
+        "doc_id", F.expr(Q._TOK_SPARK).alias("toks")
+    ).select("doc_id", F.expr(Q._TRIGRAM_SPARK).alias("sh")).limit(200)
+    hashed = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr("transform(sh, x -> xxhash64(x))")))
+        .alias("nh"),
+        F.size("sh").alias("ns"),
+    )
+    bad = hashed.filter(F.col("nh") != F.col("ns")).count()
+    assert bad == 0  # distinct strings -> distinct hashes on this corpus
