@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
     "embedding_neardup", "sessionize", "token_histogram",
+    "quality_filter", "repetition_stats", "source_rollup",
+    "token_percentiles",
 ]
 
 

@@ -54,7 +54,7 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
         # core-proportional partition counts inflate the fixed per-round
         # floor at high N and measure scheduler overhead, not the engine
         .config("spark.sql.shuffle.partitions", str(parts))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", os.environ.get("CRABSPARK_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")

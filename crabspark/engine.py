@@ -335,7 +335,9 @@ class Engine:
             if not progressed:
                 break
             rounds_done += 1
+        t_fin = time.monotonic()
         self.finalize()
+        self._debug_log(f"finalize {time.monotonic() - t_fin:.1f}s")
         self._debug_log(
             f"crawl stopped after {rounds_done} rounds: "
             f"{self.total_visited} visited"
@@ -352,6 +354,13 @@ class Engine:
         r = self.round
         t0 = time.monotonic()
         cfg = self.cfg
+        # the driver's frontier-size estimate is provably >= the true live
+        # count (children are counted before the queued-seed/depth filters;
+        # batch subtraction is exact), so 0 means empty — skip the drain
+        # round's select/rank jobs entirely
+        if self.frontier_size == 0:
+            self._debug_log(f"round {r}: frontier empty (driver estimate)")
+            return False
         jobs0 = self._job_counter()
         # Bucketed layout: the live-mask side (visits since the last fold)
         # must stay broadcast-small. When the accumulated visit count since
@@ -420,6 +429,9 @@ class Engine:
         # self._queued_seeds only at commit time (failure restores cleanly)
         queued_now = self._queued_seeds - set(bstats.get("visited_seeds") or [])
         if batch_n == 0:
+            self._debug_log(
+                f"round {r}: drain check empty, {time.monotonic() - t0:.1f}s"
+            )
             return False
         t_batch = time.monotonic()
 
@@ -1224,16 +1236,40 @@ class Engine:
         ops = self.catalog.read("visited_ops")
         if ops is None:
             return
-        visits = ops.filter(F.col("op") == "visit").select("url", "round").distinct().cache()
+        # (url, round) visit rows are already unique — one row per batch
+        # row, batches are deduped, and a re-queued seed re-visits in a
+        # LATER round — so no distinct shuffle is needed here (dup marks
+        # are deduped at the end regardless)
+        visits = ops.filter(F.col("op") == "visit").select("url", "round").cache()
         fetched = self.catalog.read("fetched")
         fetched_visits = (
-            fetched.select("url", "round").distinct().cache()
+            fetched.select("url", "round").cache()
             if fetched is not None
             else self._empty("url string, round int")
         )
         edges_df = self.catalog.read("edges")
         if edges_df is None:
             edges_df = self._empty(EDGES_SCHEMA)
+        # bad(0): children never visited (cap-truncated frontier remainder)
+        bad = (
+            edges_df.select(F.col("child").alias("url"))
+            .distinct()
+            .join(visits.select("url").distinct(), "url", "left_anti")
+            .localCheckpoint()
+        )
+        if bad.isEmpty():
+            # the common drained-frontier case: every discovered child was
+            # visited, so no visit has a failed call — skip the last-edge
+            # resolution and the whole propagation loop (they were ~half
+            # the finalize wall on the 400k fixture). fetched rows are a
+            # subset of visits by construction (every fetched row comes
+            # from a batch row, which is a visit), so `visits semi-join
+            # fetched` reduces to fetched itself — no join needed.
+            complete = fetched_visits.select("url").distinct()
+            self._write_complete_marks(complete)
+            visits.unpersist()
+            fetched_visits.unpersist()
+            return
         last_visit = visits.groupBy("url").agg(F.max("round").alias("last_round"))
         # edges attached to the parent's LAST visit (only the seed can have
         # more than one; its re-visit has no edges -> vacuous success, Q10)
@@ -1246,13 +1282,6 @@ class Engine:
             )
             .select("parent", "parent_round", "child")
             .cache()
-        )
-        # bad(0): children never visited (cap-truncated frontier remainder)
-        bad = (
-            edges_df.select(F.col("child").alias("url"))
-            .distinct()
-            .join(visits.select("url").distinct(), "url", "left_anti")
-            .localCheckpoint()
         )
         # DELTA iteration: each step joins the edge table against only the
         # NEWLY-bad nodes (not the whole accumulated set) — per-step work
@@ -1296,12 +1325,19 @@ class Engine:
             )
             .distinct()
         )
+        # fetched ⊆ visits (url, round) by construction, so the semi-join
+        # against visits is a no-op — anti-join the bad visits directly
         complete = (
-            visits.join(fetched_visits, ["url", "round"], "left_semi")
-            .join(bad_visits, ["url", "round"], "left_anti")
+            fetched_visits.join(bad_visits, ["url", "round"], "left_anti")
             .select("url")
             .distinct()
         )
+        self._write_complete_marks(complete)
+        visits.unpersist()
+        fetched_visits.unpersist()
+        last_edges.unpersist()
+
+    def _write_complete_marks(self, complete: DataFrame) -> None:
         marks = complete.select(
             "url",
             F.lit(None).cast("string").alias("referrer"),
@@ -1311,8 +1347,6 @@ class Engine:
         )
         self.catalog.append("visited_ops", marks, self.round)
         self.catalog.commit(self.round, {"total_visited": self.total_visited})
-        visits.unpersist()
-        last_edges.unpersist()
 
     # ------------------------------------------------------------------
     def read_visited(self) -> DataFrame:

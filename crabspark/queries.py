@@ -1170,6 +1170,184 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style document quality VERDICT (the keep/drop gate a
+    training-data pipeline runs after scoring): first failing rule wins.
+    All float features are rounded to 4 places BEFORE thresholding on both
+    engines, so verdict branches are bit-stable across Spark and the
+    oracle."""
+    stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    stop_arr = F.array(*[F.lit(s) for s in stop])
+    nt = F.size("toks")
+    mtl = F.round(
+        F.length(F.regexp_replace(F.concat_ws(" ", "toks"), r"\s", ""))
+        / nt,
+        4,
+    )
+    sr = F.round(
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))) / nt,
+        4,
+    )
+    verdict = (
+        F.when(nt < 10, "too_short")
+        .when(nt > 100_000, "too_long")
+        .when((mtl < 2.0) | (mtl > 12.0), "tok_len")
+        .when(sr < 0.02, "low_stopword")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("keep"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, len(toks) AS nt,
+         round(CAST(length(regexp_replace(array_to_string(toks, ' '),
+               '\\s', '', 'g')) AS DOUBLE) / len(toks), 4) AS mtl,
+         round(CAST(len(list_filter(toks,
+               x -> list_contains(['the','a','and','of','to','in','is','on'], x)))
+               AS DOUBLE) / len(toks), 4) AS sr
+  FROM t),
+v AS (
+  SELECT doc_id,
+         CASE WHEN nt < 10 THEN 'too_short'
+              WHEN nt > 100000 THEN 'too_long'
+              WHEN mtl < 2.0 OR mtl > 12.0 THEN 'tok_len'
+              WHEN sr < 0.02 THEN 'low_stopword'
+              ELSE 'keep' END AS verdict
+  FROM feat)
+SELECT doc_id, verdict, verdict = 'keep' AS keep FROM v
+"""
+
+
+# bigrams WITHOUT the distinct (repetition needs multiplicity)
+_BIGRAM_ALL_SPARK = (
+    "zip_with("
+    "slice(toks, 1, greatest(size(toks) - 1, 0)), "
+    "slice(toks, 2, greatest(size(toks) - 1, 0)), "
+    "(x, y) -> concat(x, ' ', y))"
+)
+_BIGRAM_ALL_DUCK = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals: top-token fraction (most frequent
+    token's share) and duplicate-bigram fraction — boilerplate and
+    keyword-stuffed pages score high on both. One explode + two hash
+    aggregations (both map-side combinable), no windows."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_toks"))
+    )
+    bi = d.select(
+        "doc_id",
+        F.expr(_BIGRAM_ALL_SPARK).alias("bg"),
+    ).select(
+        "doc_id",
+        F.size("bg").alias("n_bi"),
+        F.size(F.array_distinct("bg")).alias("n_uniq"),
+    )
+    return tf.join(bi, "doc_id").select(
+        "doc_id",
+        F.round(F.col("top_cnt") / F.col("n_toks"), 4).alias(
+            "top_token_fraction"
+        ),
+        F.when(F.col("n_bi") > 0,
+               F.round(1 - F.col("n_uniq") / F.col("n_bi"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_fraction"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+flat AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_toks FROM tf GROUP BY 1),
+bi AS (
+  SELECT doc_id, {_BIGRAM_ALL_DUCK} AS bg FROM t),
+bstat AS (
+  SELECT doc_id, len(bg) AS n_bi, len(list_distinct(bg)) AS n_uniq FROM bi)
+SELECT top.doc_id,
+       round(CAST(top_cnt AS DOUBLE) / n_toks, 4) AS top_token_fraction,
+       CASE WHEN n_bi > 0
+            THEN round(1 - CAST(n_uniq AS DOUBLE) / n_bi, 4)
+            ELSE 0.0 END AS dup_bigram_fraction
+FROM top JOIN bstat ON top.doc_id = bstat.doc_id
+"""
+
+
+def q_source_rollup(spark, sf_dir):
+    """Per-source corpus health rollup (pipeline composition: quality
+    verdicts -> groupBy source): doc count, mean token count, share of
+    keep verdicts. Means are ratios of exact integer sums, so the rounded
+    values are bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "nt", F.size(F.expr(_TOK_SPARK))
+    )
+    keep = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("k")
+    )
+    return (
+        d.select("doc_id", "source", "nt")
+        .join(keep, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("nt") / F.count("*"), 4).alias("mean_tokens"),
+            F.round(F.sum("k") / F.count("*"), 4).alias("keep_share"),
+        )
+    )
+
+
+SQL_SOURCE_ROLLUP = f"""
+WITH q AS ({SQL_QUALITY_FILTER.strip()}),
+t AS (SELECT doc_id, source, len({_TOK_DUCK}) AS nt FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS mean_tokens,
+       round(CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS keep_share
+FROM t JOIN q ON t.doc_id = q.doc_id
+GROUP BY source
+"""
+
+
+def q_token_percentiles(spark, sf_dir):
+    """Exact per-source token-count percentiles (p50/p90/p99, linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont` share
+    the p*(n-1) type-7 formula, so values match bit-for-bit on integer
+    inputs)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.expr(_TOK_SPARK)).alias("nt")
+    )
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(nt, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(nt, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(nt, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_TOKEN_PERCENTILES = f"""
+WITH t AS (SELECT source, len({_TOK_DUCK}) AS nt FROM documents)
+SELECT source,
+       round(quantile_cont(nt, 0.5), 4) AS p50,
+       round(quantile_cont(nt, 0.9), 4) AS p90,
+       round(quantile_cont(nt, 0.99), 4) AS p99
+FROM t GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1204,6 +1382,10 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
+    "token_percentiles": (q_token_percentiles, SQL_TOKEN_PERCENTILES),
 }
 
 
