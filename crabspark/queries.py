@@ -427,9 +427,14 @@ def _lsh_shingle_pairs(spark, sf_dir, shingle_expr, n_bands, n_rows, thresh):
     band self-join shuffles only (doc_id, bkey) pairs and candidate volume
     is near-linear by construction (band keys are balanced)."""
     n_hash = n_bands * n_rows
+    # one materialization feeds all three consumers (minhash aggregation +
+    # both sides of the verify join) — without it the tokenize+shingle
+    # computation runs three times per query
     sh = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOK_SPARK).alias("toks")
-    ).select("doc_id", F.expr(shingle_expr).alias("sh"))
+    ).select("doc_id", F.expr(shingle_expr).alias("sh")).localCheckpoint(
+        eager=False
+    )
     sigs = (
         sh.select("doc_id", F.explode("sh").alias("g"))
         .groupBy("doc_id")
