@@ -102,6 +102,97 @@ def start_page_ingest(
     )
 
 
+def start_polite_gate(
+    spark: SparkSession,
+    pages_dir: str,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    delay_ms: int = 1000,
+    pages_schema: str = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ),
+):
+    """CUSTOM STATEFUL streaming operator (``applyInPandasWithState``):
+    the reference's per-request politeness delay (crawler_request_delay_ms,
+    reference src/crawl.rs:88 thread::sleep between fetches) recast as a
+    streaming admission gate. Per host, state carries the event-time of
+    the last ADMITTED request; an arriving capture is admitted iff at
+    least ``delay_ms`` of event time passed since, else deferred with its
+    remaining wait. State lives in the streaming checkpoint, so a
+    restarted query keeps enforcing the delay across micro-batches — the
+    semantics a distributed fetch scheduler needs and that watermarked
+    aggregation alone cannot express (the decision is sequential per
+    host). The per-row loop inside the pandas group is inherent: each
+    admission depends on the previous one; groups batch through Arrow.
+
+    Determinism: rows are processed in (ts_ms, url) order within each
+    micro-batch, so replays produce identical decisions."""
+    ship_package(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.regexp_extract("url", r"^https?://([^/?#]+)", 1)
+    src = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+        .select(
+            "url",
+            host.alias("host"),
+            (F.col("warc_ts").cast("double") * 1000).cast("long").alias(
+                "ts_ms"
+            ),
+        )
+    )
+
+    out_schema = "url string, host string, ts_ms long, allowed boolean, wait_ms long"
+    state_schema = "last_ms long"
+
+    def gate(key, pdfs, state: GroupState):
+        (h,) = key
+        last = int(state.get[0]) if state.exists else -(10**15)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts_ms", "url"]).reset_index(drop=True)
+        allowed, wait = [], []
+        for ts in rows["ts_ms"].astype("int64"):
+            if ts - last >= delay_ms:
+                allowed.append(True)
+                wait.append(0)
+                last = int(ts)
+            else:
+                allowed.append(False)
+                wait.append(int(last + delay_ms - ts))
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "url": rows["url"],
+                "host": rows["host"],
+                "ts_ms": rows["ts_ms"],
+                "allowed": allowed,
+                "wait_ms": wait,
+            }
+        )
+
+    gated = src.groupBy("host").applyInPandasWithState(
+        gate, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = int(catalog.extra("polite_last_batch", -1))
+        if int(batch_id) <= last:
+            return
+        catalog.append("polite_log", batch_df, int(batch_id))
+        catalog.commit(int(batch_id), {"polite_last_batch": int(batch_id)})
+
+    return (
+        gated.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_host_rate(
     spark: SparkSession,
     pages_dir: str,

@@ -426,3 +426,34 @@ def test_auto_bucket_migration_mid_crawl(both, spark, data, tmp_path_factory):
     )
     assert eng2.bucketed_frontier is not None
     assert eng2.total_visited == eng.total_visited
+
+
+def test_mask_size_gate_folds_early(both, spark, data, tmp_path_factory):
+    """ADVICE r3 (medium): the bucketed live-mask broadcast side must stay
+    bounded. With a tiny fetch_broadcast_limit every round crosses the
+    gate, so the engine folds the frontier BEFORE selecting — the crawl
+    must still produce the identical visit log, and the folded-round
+    marker must advance with the crawl instead of staying at the default
+    fold period."""
+    _, log_d, seen_d = both["delta"]
+    work = str(tmp_path_factory.mktemp("work_maskgate"))
+    cfg = _cfg(8)
+    cfg.fetch_broadcast_limit = 4  # bound crossed every round
+    eng = Engine(
+        spark, cfg, work,
+        pages_path=f"{data}/pages.parquet",
+        robots_path=f"{data}/robots.parquet",
+    )
+    eng.run()
+    h = hashlib.md5()
+    for row in eng.visit_log().select("round", "priority", "url").collect():
+        h.update(f"{row['round']}|{row['priority']}|{row['url']}\n".encode())
+    assert h.hexdigest() == log_d
+    seen = hashlib.md5(
+        "\n".join(sorted(r["url"] for r in eng.read_seen().collect())).encode()
+    ).hexdigest()
+    assert seen == seen_d
+    # the early folds kept the mask bound under the limit all crawl long
+    folded = int(eng.catalog.extra("frontier_folded_round", -1))
+    assert folded >= eng.round - 2
+    assert eng._visits_since_fold() <= cfg.fetch_broadcast_limit + 50

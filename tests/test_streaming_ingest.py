@@ -208,3 +208,61 @@ def test_ingested_candidates_get_crawled(spark, tmp_path):
     seen = {r["url"] for r in eng.read_seen().collect()}
     assert {r["url"] for r in isl} <= seen
     assert not visited_before & {r["url"] for r in isl}
+
+
+def test_polite_gate_stateful_across_restart(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): per-host admission
+    with a 1s event-time delay. The state (last admitted ts) must survive
+    a query restart on the same checkpoint — the batch-2 capture 300ms
+    after batch-1's last admission must be DEFERRED, which only happens
+    if state carried over."""
+    import datetime
+
+    import pandas as pd
+
+    from crabspark.streaming import start_polite_gate
+
+    def rows(urls_secs):
+        base = datetime.datetime(
+            2025, 3, 1, 12, 0, tzinfo=datetime.timezone.utc
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "url": u,
+                    "warc_ts": base + datetime.timedelta(seconds=s),
+                    "html": b"<html></html>", "text": "", "lang": "en",
+                }
+                for u, s in urls_secs
+            ],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+
+    pages_dir = str(tmp_path / "incoming")
+    os.makedirs(pages_dir)
+    rows([
+        ("https://a.com/1", 0.0), ("https://a.com/2", 0.4),
+        ("https://a.com/3", 1.5), ("https://b.com/1", 0.2),
+    ]).to_parquet(f"{pages_dir}/f1.parquet", index=False,
+                  coerce_timestamps="us", allow_truncated_timestamps=True)
+    cat = Catalog(str(tmp_path / "cat"), spark)
+    q = start_polite_gate(spark, pages_dir, cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {r["url"]: (r["allowed"], r["wait_ms"])
+           for r in cat.read("polite_log").collect()}
+    assert got["https://a.com/1"] == (True, 0)
+    assert got["https://a.com/2"] == (False, 600)  # 0.4s after admission
+    assert got["https://a.com/3"] == (True, 0)     # 1.5s >= 1s delay
+    assert got["https://b.com/1"] == (True, 0)     # independent host state
+
+    # restart on the same checkpoint: 1.8s is only 300ms after the carried
+    # last-admission (1.5s) -> deferred; 3.0s -> admitted
+    rows([("https://a.com/4", 1.8), ("https://a.com/5", 3.0)]).to_parquet(
+        f"{pages_dir}/f2.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True)
+    q2 = start_polite_gate(spark, pages_dir, cat, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    got2 = {r["url"]: (r["allowed"], r["wait_ms"])
+            for r in cat.read("polite_log").collect()}
+    assert got2["https://a.com/4"] == (False, 700)
+    assert got2["https://a.com/5"] == (True, 0)
