@@ -108,3 +108,21 @@ def test_hashed_verify_matches_exact(spark):
     )
     bad = hashed.filter(F.col("nh") != F.col("ns")).count()
     assert bad == 0  # distinct strings -> distinct hashes on this corpus
+
+
+def test_query_library_is_udf_free(spark):
+    """Every registered operator's physical plan must stay JVM-side —
+    no Python evaluation nodes (BatchEvalPython / ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas). The whole query library is
+    built from built-in expressions so Catalyst/WSCG own the hot path."""
+    bad = {}
+    for name, (fn, _sql) in sorted(Q.REGISTRY.items()):
+        if name == "dedup_clusters":
+            continue  # iterative driver loop; components checked via
+            # minhash_lsh_pairs (its only Spark input)
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "FlatMapGroupsInPandas", "MapInPandas"):
+            if marker in plan:
+                bad[name] = marker
+    assert not bad, bad
