@@ -102,6 +102,149 @@ def start_page_ingest(
     )
 
 
+def start_neardup_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    thresh: float = 0.8,
+    docs_schema: str = "doc_id long, text string, lang string, source string",
+):
+    """Streaming near-duplicate gate: incremental MinHash-LSH dedup at
+    INGEST time — each arriving document is checked against the whole
+    accumulated corpus before it is admitted (the shape a training-data
+    pipeline needs: dedup as data lands, not as a nightly all-corpus job).
+
+    Per micro-batch: 2-gram shingles -> xxhash64 -> 12 minhashes -> 3x4
+    LSH bands; candidates are band collisions against (a) the persistent
+    signature store and (b) earlier-id docs of the same batch; candidates
+    verify by exact Jaccard over the hashed-shingle arrays at ``thresh``.
+    Flagged docs land in ``neardup_log(doc_id, dup_of, jaccard)``; only
+    clean docs enter the store (``sig_shingles`` + ``sig_bands``), so the
+    store stays near-dup-free and grows O(distinct corpus).
+
+    Scale: the store-side join is on band keys (near-linear candidates by
+    LSH construction, never all-pairs); the verify stage ships fixed-width
+    int64 arrays. Exactly-once via the same batch high-water mark + atomic
+    commit as the other sinks."""
+    ship_package(spark)
+    from crabspark.queries import _SHINGLE_SPARK, _TOK_SPARK
+
+    n_bands, n_rows = 3, 4
+    n_hash = n_bands * n_rows
+
+    def _sigs(docs: DataFrame):
+        sh = docs.select(
+            "doc_id", F.expr(_TOK_SPARK).alias("toks")
+        ).select(
+            "doc_id",
+            F.expr(
+                f"transform({_SHINGLE_SPARK}, x -> xxhash64(x))"
+            ).alias("sh"),
+        )
+        sig = sh.select(
+            "doc_id", "sh",
+            *[
+                F.array_min(
+                    F.expr(f"transform(sh, x -> xxhash64(x, {i}))")
+                ).alias(f"mh{i}")
+                for i in range(n_hash)
+            ],
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":", F.lit(str(k)),
+                            *[
+                                F.col(f"mh{k * n_rows + j}").cast("string")
+                                for j in range(n_rows)
+                            ],
+                        )
+                        for k in range(n_bands)
+                    ]
+                )
+            ).alias("bkey"),
+        )
+        return sig.select("doc_id", "sh"), bands
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = int(catalog.extra("neardup_last_batch", -1))
+        if int(batch_id) <= last:
+            return
+        sigs, bands = _sigs(batch_df)
+        sigs = sigs.localCheckpoint()
+        bands = bands.localCheckpoint()
+        empty_b = spark.createDataFrame([], "doc_id long, bkey string")
+        empty_s = spark.createDataFrame([], "doc_id long, sh array<bigint>")
+        stored_b = catalog.read("sig_bands") or empty_b
+        stored_s = catalog.read("sig_shingles") or empty_s
+        cand_ext = bands.join(
+            stored_b.withColumnRenamed("doc_id", "dup_of"), "bkey"
+        ).select("doc_id", "dup_of")
+        cand_int = bands.join(
+            bands.select(F.col("doc_id").alias("dup_of"), "bkey"), "bkey"
+        ).filter(F.col("doc_id") > F.col("dup_of")).select("doc_id", "dup_of")
+        cand = cand_ext.unionByName(cand_int).dropDuplicates()
+        sh_lookup = stored_s.unionByName(sigs).select(
+            F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_b")
+        )
+        jac = F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        )
+        verified = (
+            cand.join(sigs.select("doc_id", F.col("sh").alias("sh_a")), "doc_id")
+            .join(sh_lookup, "dup_of")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= thresh)
+        )
+        # deterministic canonical: lowest-id qualifying dup target wins
+        dups = (
+            verified.groupBy("doc_id")
+            .agg(
+                F.min_by(
+                    F.struct("dup_of", "jaccard"), F.col("dup_of")
+                ).alias("w")
+            )
+            .select(
+                "doc_id", F.col("w.dup_of").alias("dup_of"),
+                F.col("w.jaccard").alias("jaccard"),
+            )
+            .localCheckpoint()
+        )
+        clean = sigs.join(dups, "doc_id", "left_anti")
+        catalog.append("sig_shingles", clean, int(batch_id))
+        catalog.append(
+            "sig_bands",
+            bands.join(dups, "doc_id", "left_anti"),
+            int(batch_id),
+        )
+        if not dups.isEmpty():
+            catalog.append(
+                "neardup_log",
+                dups.withColumn("batch", F.lit(int(batch_id))),
+                int(batch_id),
+            )
+        catalog.commit(int(batch_id), {"neardup_last_batch": int(batch_id)})
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_polite_gate(
     spark: SparkSession,
     pages_dir: str,

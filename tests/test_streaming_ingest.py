@@ -266,3 +266,54 @@ def test_polite_gate_stateful_across_restart(spark, tmp_path):
             for r in cat.read("polite_log").collect()}
     assert got2["https://a.com/4"] == (False, 700)
     assert got2["https://a.com/5"] == (True, 0)
+
+
+def test_neardup_gate_incremental_dedup(spark, tmp_path):
+    """Streaming MinHash-LSH dedup at ingest: near-dups of docs admitted
+    in EARLIER batches are flagged against the persistent store;
+    batch-internal near-dups are flagged against the earlier doc_id;
+    only clean docs enter the store."""
+    import pandas as pd
+
+    from crabspark.streaming import start_neardup_gate
+
+    base_a = ("spark streams batches of rows through vector hash tables "
+              "while the query planner folds constant filters early")
+    base_b = ("the crawler visits pages in priority order and records "
+              "every seen url inside a partitioned bloom filter store")
+    base_c = ("token counts and stopword ratios gate documents before "
+              "the training pipeline shards them across the cluster")
+
+    def doc(i, text, src="s"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": src}
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    pd.DataFrame([doc(1, base_a), doc(2, base_b)]).to_parquet(
+        f"{docs_dir}/f1.parquet", index=False)
+    cat = Catalog(str(tmp_path / "cat"), spark)
+    q = start_neardup_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert cat.read("neardup_log") is None  # both distinct
+    assert sorted(
+        r["doc_id"] for r in cat.read("sig_shingles").collect()
+    ) == [1, 2]
+
+    # batch 2: doc 3 near-dups the STORED doc 1 (one word changed);
+    # doc 4 is new; doc 5 near-dups doc 4 within the same batch
+    near_a = base_a.replace("early", "eagerly")
+    near_c = base_c.replace("cluster", "fleet")
+    pd.DataFrame(
+        [doc(3, near_a), doc(4, base_c), doc(5, near_c)]
+    ).to_parquet(f"{docs_dir}/f2.parquet", index=False)
+    q2 = start_neardup_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    log = {r["doc_id"]: r["dup_of"] for r in cat.read("neardup_log").collect()}
+    assert log == {3: 1, 5: 4}
+    assert sorted(
+        r["doc_id"] for r in cat.read("sig_shingles").collect()
+    ) == [1, 2, 4]
+    # replay guard: rerunning with the same checkpoint changes nothing
+    q3 = start_neardup_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q3.awaitTermination(120)
+    assert len(cat.read("neardup_log").collect()) == 2
