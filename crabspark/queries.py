@@ -882,6 +882,93 @@ FROM embeddings GROUP BY 1, 2
 """
 
 
+def _vec_lit(vec):
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def _assign_clusters(df, cents):
+    """Nearest-centroid assignment as a pure expression: squared L2 to
+    each centroid literal, argmin via array_position(array_min) —
+    deterministic first-match tie-break, JVM-side, no UDF."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "embedding", _vec_lit(c),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in cents
+        ]
+    )
+    return df.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def q_ann_ivf_kmeans(spark, sf_dir, k=16, iters=3, nprobe=4, topk=10):
+    """IVF ANN with a TRAINED coarse quantizer: k-means (deterministic
+    first-k init, Lloyd iterations as DataFrame aggregations — one
+    posexplode shuffle per iteration, k x dim driver state only), then the
+    query probes its ``nprobe`` nearest centroids and exact cosine runs
+    over just those inverted lists — the FAISS-IVF shape, upgraded from
+    the static grid of q_ann_grid_buckets. At 100-TB scale the assignment
+    is one map-side pass and the lists are the partition layout.
+
+    No DuckDB oracle (iterative, not one-shot SQL — the driver records the
+    weaker rows-only check); correctness is pinned by recall vs the
+    brute-force baseline in test_ann_ivf_recall plus determinism of the
+    candidate construction."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    init = e.orderBy("vec_id").limit(k).collect()
+    cents = np.array([r["embedding"] for r in init], dtype=float)
+    for _ in range(iters):
+        means = (
+            _assign_clusters(e, cents)
+            .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for row in means:
+            nxt[row["cluster"]][row["pos"]] = row["m"]
+        cents = nxt
+
+    q = np.array(
+        e.filter(F.col("vec_id") == 0).first()["embedding"], dtype=float
+    )
+    probe = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    cand = _assign_clusters(e, cents).filter(
+        F.col("cluster").isin([int(c) for c in probe])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", _vec_lit(q), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    sim = F.round(dot / (norm_a * float(np.sqrt((q * q).sum()))), 4)
+    return (
+        cand.select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(topk)
+    )
+
+
 
 
 # Embedding near-dup: random-hyperplane sign-bit LSH (SimHash-for-vectors).
@@ -1383,6 +1470,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_grid_buckets": (q_ann_grid_buckets, SQL_ANN_GRID_BUCKETS),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),  # iterative: rows-only check
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

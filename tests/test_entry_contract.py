@@ -29,4 +29,8 @@ def test_registry_alignment():
     assert set(sqls) <= set(qs)
     assert len(qs) >= 20
     missing_oracle = set(qs) - set(sqls)
-    assert not missing_oracle, f"queries without oracles: {missing_oracle}"
+    # iterative ops are deliberately oracle-less (driver rows-only check);
+    # anything else missing an oracle is a registration bug
+    assert missing_oracle <= {"ann_ivf_kmeans"}, (
+        f"queries without oracles: {missing_oracle}"
+    )

@@ -44,6 +44,8 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(Q.REGISTRY))
 def test_query_matches_oracle(spark, duck, name):
     fn, sql = Q.REGISTRY[name]
+    if sql is None:
+        pytest.skip("iterative op, no one-shot SQL oracle (rows-only check)")
     got = normalize(fn(spark, SF_DIR).toPandas())
     want = normalize(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns), (
@@ -126,3 +128,18 @@ def test_query_library_is_udf_free(spark):
             if marker in plan:
                 bad[name] = marker
     assert not bad, bad
+
+
+def test_ann_ivf_recall(spark):
+    """IVF-k-means ANN (no SQL oracle — iterative): recall@10 vs the
+    brute-force cosine baseline must be high while scanning only
+    nprobe/k of the corpus (measured 0.9 at nprobe=4/k=16 on the random
+    fixture; asserted with margin for float-order wobble in the Lloyd
+    means)."""
+    brute = {r["vec_id"] for r in Q.REGISTRY["ann_cosine_topk"][0](spark, SF_DIR).collect()}
+    ivf_df = Q.q_ann_ivf_kmeans(spark, SF_DIR)
+    rows = ivf_df.collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0  # query itself
+    recall = len(brute & {r["vec_id"] for r in rows}) / 10
+    assert recall >= 0.8, recall
