@@ -83,6 +83,9 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
     cfg.respect_robots = True
     cfg.collect_images = True
     cfg.bloom_capacity = 4_000_000
+    cfg.arrow_max_records_per_batch = int(
+        os.environ.get("CRABSPARK_ARROW_BATCH", "512")
+    )
 
     # warm-up: a tiny throwaway crawl on the same input so JIT/codegen,
     # python UDF workers, and file listings are hot before measurement
