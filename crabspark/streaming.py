@@ -236,6 +236,12 @@ def start_neardup_gate(
                 int(batch_id),
             )
         catalog.commit(int(batch_id), {"neardup_last_batch": int(batch_id)})
+        # the store gains one delta per micro-batch; without periodic
+        # folding the band-join's scan cost would grow O(batches), not
+        # O(corpus) — same amortized rewrite policy as the engine tables
+        for t in ("sig_bands", "sig_shingles"):
+            if catalog.delta_count(t) > 16:
+                catalog.compact(t, int(batch_id))
 
     return (
         stream.writeStream.foreachBatch(sink)
