@@ -304,9 +304,15 @@ class Engine:
         # init commit leaves physical seed files with no committed extras —
         # dir-based exists() would skip re-init and resume half-initialized
         # (ADVICE r3). replace() is idempotent, so re-seeding is safe.
+        # A committed streaming ingest ALSO counts as evidence (an
+        # ingest-first store holds real committed roots that a re-seed
+        # replace() would wipe — matching the delta-chain path, where an
+        # ingest delta makes exists() true and config seeds stay unqueued).
         frontier_exists = (
             (self.bucketed_frontier.exists()
-             and bool(self.catalog.extra("frontier_seeded", False)))
+             and (bool(self.catalog.extra("frontier_seeded", False))
+                  or int(self.catalog.extra("ingested_candidates_batch", -1))
+                  >= 0))
             if self.bucketed_frontier is not None
             else self.catalog.exists("frontier")
         )

@@ -317,3 +317,60 @@ def test_neardup_gate_incremental_dedup(spark, tmp_path):
     q3 = start_neardup_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
     q3.awaitTermination(120)
     assert len(cat.read("neardup_log").collect()) == 2
+
+
+def test_ingest_first_then_run_keeps_roots(spark, tmp_path):
+    """Ingest BEFORE the first run() on a bucketed store: the committed
+    ingested roots must survive run()'s seed-existence check (a re-seed
+    replace() would wipe them) and get crawled."""
+    import pandas as pd
+
+    from crabspark.config import Config
+    from crabspark.engine import Engine
+    from crabspark.streaming import start_page_ingest
+
+    data = gen_pages.generate(n_pages=25, seed=42)
+    fixture = str(tmp_path / "fx")
+    os.makedirs(fixture)
+    data["pages"].to_parquet(
+        f"{fixture}/pages.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    data["robots"].to_parquet(f"{fixture}/robots.parquet", index=False)
+
+    island = pd.DataFrame(
+        {
+            "url": ["https://isle.example/solo.html"],
+            "warc_ts": pd.to_datetime(["2025-03-01T12:00:00Z"]),
+            "html": [b"<html><body><p>alone</p></body></html>"],
+            "text": ["alone"], "lang": ["en"],
+        }
+    )
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    island.to_parquet(
+        f"{incoming}/p0.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    cand_cat = Catalog(str(tmp_path / "cand"), spark)
+    q = start_page_ingest(spark, incoming, cand_cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    cfg = Config.new()
+    cfg.seeds = [gen_pages.SEED_URL]
+    cfg.scheduling = "throughput"
+    cfg.collect_images = False
+    cfg.max_urls_to_visit = 50
+    cfg.frontier_buckets = 8
+    eng = Engine(
+        spark, cfg, str(tmp_path / "work"),
+        pages_path=f"{fixture}/pages.parquet",
+        robots_path=f"{fixture}/robots.parquet",
+    )
+    eng.pages = eng.pages.unionByName(
+        spark.read.parquet(f"{incoming}/p0.parquet")
+    )
+    assert eng.ingest_candidates(cand_cat) == 1
+    eng.run(max_rounds=3)
+    urls = [r["url"] for r in eng.visit_log().collect()]
+    assert "isle.example/solo.html" in urls  # root survived run()'s init
