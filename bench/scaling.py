@@ -239,6 +239,12 @@ def main() -> None:
                     help="semicolon-separated N,4N pairs, e.g. '1,4;8,32'")
     ap.add_argument("--repeats", type=int, default=1,
                     help="crawls per leg; keep the fastest (noise floor)")
+    ap.add_argument("--no-md", action="store_true",
+                    help="print the JSON report only; leave BENCH/BASELINE.md "
+                         "untouched (for supplementary pairs/fixtures whose "
+                         "results are folded into the doc by hand)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the JSON report to this path")
     args = ap.parse_args()
 
     if args.worker:
@@ -350,7 +356,11 @@ def main() -> None:
         "kernel_ceiling_probe_s": ceiling,
     }
     print(json.dumps(report, indent=1))
-    write_markdown(report)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+    if not args.no_md:
+        write_markdown(report)
 
 
 def write_markdown(rep: dict) -> None:

@@ -1440,6 +1440,186 @@ FROM t GROUP BY source
 """
 
 
+def _word_ngrams_spark(n: int) -> str:
+    """Word n-grams as space-joined strings; empty array when the doc is
+    shorter than n (Spark `sequence` would otherwise DESCEND on a negative
+    stop and fabricate grams)."""
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def _word_ngrams_duck(n: int) -> str:
+    # range() is end-exclusive and empty when stop <= start, list slicing
+    # is 1-based inclusive — i : i+n-1 is exactly n tokens.
+    return (
+        f"list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> array_to_string(toks[i:i + {n - 1}], ' '))"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the gate every LLM training pipeline
+    runs before a corpus ships: flag training docs that share any word
+    8-gram with an eval/benchmark set. The benchmark here is the
+    deterministic slice doc_id % 50 = 17 of the same corpus (so benchmark
+    docs self-hit and the check is non-vacuous).
+
+    Scale shape: the benchmark side (eval suites, ~10^6-10^7 grams even
+    for a large eval battery) is orders of magnitude smaller than the
+    100-TB training side, so the plan BROADCASTS the distinct benchmark
+    grams and streams the training grams map-side through the hash semi
+    join — no shuffle of the big side at all; the only shuffle is the
+    per-doc count aggregation, map-side combinable. Joining on the raw
+    gram string (not a hash) is deliberate: with a broadcast join there is
+    no shuffle width to save, and exactness costs nothing."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_word_ngrams_spark(8))).alias("gram")
+    ).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % 50 == 17)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_word_ngrams_duck(8)}) AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 17),
+hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM grams JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """CCNet-style duplicated-n-gram density: corpus-wide document
+    frequency of each word 5-gram, then per doc the share of its distinct
+    5-grams that also appear in at least one OTHER doc. Boilerplate
+    (navigation chrome, license footers) scores near 1.0; unique prose
+    near 0.
+
+    Scale shape: one explode -> two hash aggregations (gram DF, then
+    per-doc share), both map-side combinable; the gram->doc join shuffles
+    on the gram key. At 100 TB the gram dictionary is huge but uniform —
+    the only skew risk is ultra-common boilerplate grams, which is
+    bounded because grams are DISTINCT per doc (a gram's row count = its
+    doc frequency, not its occurrence count)."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_word_ngrams_spark(5))).alias("gram")
+    ).distinct()
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum((F.col("df") > 1).cast("int")) / F.count("*"), 4
+            ).alias("dup_gram_share"),
+        )
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_word_ngrams_duck(5)}) AS gram FROM t),
+df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+SELECT doc_id, count(*) AS n_grams,
+       round(CAST(sum(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_gram_share
+FROM grams JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
+# PII patterns written in the RE2-compatible subset both engines share
+# (no backrefs, no lookaround): Spark compiles them with java.util.regex,
+# DuckDB with RE2 — identical semantics for these classes.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing — mask emails/phones before a corpus ships. The
+    fixture text carries no PII, so a deterministic contact line derived
+    from doc_id is appended first (same expression on both engines); the
+    scrub then masks it and reports per-doc redaction counts plus an md5
+    of the scrubbed text (proof the masking itself is byte-identical).
+
+    Scale shape: pure JVM-side regexp_replace / regexp_count over one
+    projection — narrow, no shuffle, whole-stage codegen, embarrassingly
+    parallel; exactly the shape a 100-TB scrub pass needs."""
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-202-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    d = _t(spark, sf_dir, "documents").withColumn("ptext", pii_text)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("ptext", _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("ptext", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("ptext", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-202-555-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS ptext
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(ptext,
+            '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(ptext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+         AS scrubbed_md5
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1479,6 +1659,9 @@ REGISTRY: dict[str, tuple] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),
     "token_percentiles": (q_token_percentiles, SQL_TOKEN_PERCENTILES),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 
