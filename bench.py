@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "embedding_neardup", "ann_ivf_kmeans", "sessionize", "token_histogram",
     "quality_filter", "repetition_stats", "source_rollup",
     "token_percentiles",
-    "decontaminate", "boilerplate_ngrams", "pii_scrub",
+    "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
 ]
 
 

@@ -673,6 +673,31 @@ FROM reach GROUP BY src
 """
 
 
+def q_corpus_dedup(spark, sf_dir):
+    """Apply the near-dup clustering: the deduplicated corpus manifest a
+    training pipeline actually ships. Keeps ONE representative per cluster
+    (the min doc_id — exactly the cluster label), reports the cluster size
+    it stands for; singletons keep themselves with size 1. Output rows =
+    the post-dedup corpus.
+
+    Scale shape: one map-side-combinable count over the label table on top
+    of the O(edge-nodes)-only component iteration — the apply step adds a
+    single hash aggregation to the clustering cost."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias("doc_id"), "cluster_size")
+    )
+
+
+SQL_CORPUS_DEDUP = f"""
+WITH labels AS ({SQL_DEDUP_CLUSTERS.strip()})
+SELECT cluster_id AS doc_id, count(*) AS cluster_size
+FROM labels GROUP BY cluster_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash (8-bit) document fingerprint: per bit, sign-sum over tokens
     of the bit of md5(token) — portable via hex-digit arithmetic."""
@@ -1644,6 +1669,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "corpus_dedup": (q_corpus_dedup, SQL_CORPUS_DEDUP),
     "simhash": (q_simhash, SQL_SIMHASH),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
