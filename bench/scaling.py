@@ -145,6 +145,7 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
             "text_md5": text_md5,
             "round_walls": [round(m["wall_s"], 2) for m in metrics],
             "batch_sizes": [m["batch_n"] for m in metrics],
+            "phase_splits": eng.phase_splits,
         }
         with open(out_path, "w") as f:
             json.dump(result, f)

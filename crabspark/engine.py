@@ -151,6 +151,11 @@ class Engine:
             c for s, c in zip(seed_parsed["ser"], seed_canon) if s is not None
         }
         self._queued_seeds = set(self.catalog.extra("queued_seeds", []))
+        # measurement-only: per-round (select, pipeline, write+commit)
+        # wall splits for this PROCESS's rounds (not persisted; resumes
+        # start empty) — bench/scaling.py exports them for the phase-level
+        # Amdahl decomposition in BENCH/BASELINE.md
+        self.phase_splits: list[dict] = []
 
         self.round = self.catalog.committed_round + 1
         self.total_visited = int(self.catalog.extra("total_visited", 0))
@@ -938,6 +943,12 @@ class Engine:
         self.total_visited = new_total
         self.frontier_size = new_frontier_size
         self._queued_seeds = queued_after
+        self.phase_splits.append({
+            "round": r,
+            "select_s": round(t_batch - t0, 3),
+            "pipeline_s": round(t_judged - t_batch, 3),
+            "write_s": round(time.monotonic() - t_judged, 3),
+        })
         self._debug_log(
             f"round {r}: visited {batch_n}, fetched {fetched_n}, "
             f"candidates {stats['cand_n']}, blocked {stats['blocked_n']}, "
