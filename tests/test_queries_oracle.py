@@ -130,6 +130,29 @@ def test_query_library_is_udf_free(spark):
     assert not bad, bad
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The decontamination join must broadcast the (small) benchmark-gram
+    side so the 100-TB training side streams map-side — a shuffle of the
+    big side here is the classic scale-killer this plan exists to avoid."""
+    plan = (
+        Q.REGISTRY["decontaminate"][0](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the gram->gram join itself must not be a SortMergeJoin
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0], plan
+
+
+def test_pii_scrub_plan_has_no_shuffle(spark):
+    """The scrub pass is a pure per-row projection — any Exchange in the
+    plan means a 100-TB scrub would shuffle the whole corpus for nothing."""
+    plan = (
+        Q.REGISTRY["pii_scrub"][0](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_ann_ivf_recall(spark):
     """IVF-k-means ANN (no SQL oracle — iterative): recall@10 vs the
     brute-force cosine baseline must be high while scanning only
