@@ -196,6 +196,31 @@ class Catalog:
             return None
         return self.spark.read.parquet(*paths)
 
+    def read_at(self, name: str, rnd: int) -> DataFrame | None:
+        """Time travel (Iceberg `VERSION AS OF` analogue): the table as of
+        committed round ``rnd`` — only deltas written at rounds <= rnd,
+        with the overwrite-restarts-the-chain rule applied WITHIN that
+        horizon. Because every round commits atomically, this is exactly
+        the state a reader at the end of round ``rnd`` saw.
+
+        History retention matches the physical layout: ``compact()`` and
+        the frontier fold rewrite the chain stamped at the rewrite round
+        (expire_snapshots + rewrite_data_files in one step), so rounds
+        older than the last rewrite are no longer reachable — ``None`` is
+        returned, never a partial reconstruction."""
+        tbl = self.state["tables"].get(name)
+        if not tbl:
+            return None
+        deltas = [d for d in tbl["deltas"] if d["round"] <= rnd]
+        if not deltas:
+            return None
+        start = 0
+        for i, d in enumerate(deltas):
+            if d["mode"] == "overwrite":
+                start = i
+        paths = [os.path.join(self.root, d["path"]) for d in deltas[start:]]
+        return self.spark.read.parquet(*paths)
+
     def compact(self, name: str, rnd: int) -> None:
         """Rewrite a table's delta chain as one delta (Iceberg rewrite_data_files
         analogue). Call when delta count is large; read-optimized afterwards."""

@@ -85,3 +85,29 @@ def test_abort_drops_all_staged_deltas(spark, tmp_path):
     cat.append("t1", df, 1)
     cat.commit(1)
     assert cat.read("t1").count() == 1
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """read_at(r) reconstructs exactly the post-round-r committed state:
+    appends accumulate, an overwrite restarts the chain only within the
+    queried horizon, and rounds older than a compaction return None."""
+    cat = Catalog(str(tmp_path / "tt"), spark)
+    cat.append("t", df(spark, [("a", 1)]), 0)
+    cat.commit(0)
+    cat.append("t", df(spark, [("b", 2)]), 1)
+    cat.commit(1)
+    cat.overwrite("t", df(spark, [("c", 3)]), 2)
+    cat.append("t", df(spark, [("d", 4)]), 2)
+    cat.commit(2)
+    assert {r["k"] for r in cat.read_at("t", 0).collect()} == {"a"}
+    assert {r["k"] for r in cat.read_at("t", 1).collect()} == {"a", "b"}
+    assert {r["k"] for r in cat.read_at("t", 2).collect()} == {"c", "d"}
+    # current read == read_at(committed_round)
+    assert {r["k"] for r in cat.read("t").collect()} == {"c", "d"}
+    assert cat.read_at("t", -1) is None
+    assert cat.read_at("missing", 2) is None
+    # compaction collapses history: pre-compaction rounds unreachable,
+    # post-compaction state intact
+    cat.compact("t", 3)
+    assert cat.read_at("t", 2) is None
+    assert {r["k"] for r in cat.read_at("t", 3).collect()} == {"c", "d"}
