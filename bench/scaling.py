@@ -69,6 +69,9 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
         # parallel scavenge has no concurrent threads to starve — measured
         # 22.9-23.5s vs 24.5-34.7s spread on the identical crawl leg
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # digest collects are (url, md5) pairs — small per row, but 10^6+
+        # rows; the 1g default is sized for query results, not audits
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -127,9 +130,16 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
             )
         seen_rows = sorted(r["url"] for r in eng.read_seen().collect())
         seen_md5 = hashlib.md5("\n".join(seen_rows).encode()).hexdigest()
+        # md5 per row EXECUTOR-side (same hex the old hashlib path produced,
+        # so digests stay comparable across rounds): collecting raw text
+        # blobs for 10^6+ pages blows spark.driver.maxResultSize
+        from pyspark.sql import functions as F
+
         texts = sorted(
-            (r["url"], hashlib.md5(r["text"].encode()).hexdigest())
-            for r in eng.catalog.read("fetched").select("url", "text").collect()
+            (r["url"], r["h"])
+            for r in eng.catalog.read("fetched")
+            .select("url", F.md5(F.col("text").cast("binary")).alias("h"))
+            .collect()
         )
         text_md5 = hashlib.md5(json.dumps(texts).encode()).hexdigest()
         metrics = [row.asDict() for row in
