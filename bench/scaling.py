@@ -68,7 +68,10 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
         # stretched to 1.1-2.5s and randomly stalled one heavy round 2-4x);
         # parallel scavenge has no concurrent threads to starve — measured
         # 22.9-23.5s vs 24.5-34.7s spread on the identical crawl leg
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC " + os.environ.get("CRABSPARK_JVM_OPTS", ""),
+        )
         # digest collects are (url, md5) pairs — small per row, but 10^6+
         # rows; the 1g default is sized for query results, not audits
         .config("spark.driver.maxResultSize", "4g")
