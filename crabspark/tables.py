@@ -41,6 +41,17 @@ class Catalog:
         # independent tables concurrently, so staging is lock-guarded
         self._pending: list[tuple[str, dict]] = []
         self._lock = threading.Lock()
+        # File-output committer v2: tasks move their files into the delta
+        # directory at TASK commit instead of the driver renaming every
+        # file serially at JOB commit — the driver-serial residue in the
+        # write phase (measured 2.6x scaling at 1->4 vs 3.7x for the
+        # pipeline). Safe here because atomicity lives in the manifest,
+        # not the directory: a failed job leaves partial files in a delta
+        # dir no committed manifest ever references (abort() drops the
+        # staged entry, GC removes the files).
+        spark.sparkContext._jsc.hadoopConfiguration().set(
+            "mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
 
     # Manifest format version. Bump when a table schema or required extra
     # changes incompatibly (v2: frontier.added_round, metrics.frontier_size,
