@@ -30,7 +30,7 @@ BENCH_QUERIES = [
     "visited_upsert", "completion_agg", "first_observer", "robots_join",
     "dedup_exact", "ngram_jaccard", "ngram_jaccard_blocked_baseline",
     "minhash_signature", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash",
+    "dedup_clusters", "simhash", "simhash_neardup_pairs",
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
     "embedding_neardup", "ann_ivf_kmeans", "sessionize", "token_histogram",

@@ -738,6 +738,92 @@ FROM sums
 """
 
 
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (completes the dedup-family triad next to
+    MinHash-LSH pairs and n-gram Jaccard): 32-bit simhash over distinct
+    2-word shingles (per bit: sign-sum of one md5 hex digit's top bit —
+    engine-portable), banded into 4 bytes; candidate pairs share at least
+    one byte-band (Hamming<=3 guarantees a clean band by pigeonhole, so
+    recall at the verify threshold is exact, not probabilistic); verified
+    with bit_count(xor) <= 3.
+
+    Scale shape: signature = one explode + one 32-way sum aggregation
+    (map-side combinable); candidates = 4 equi-joins on one-byte keys
+    over the O(docs) signature table — never an all-pairs product. Band
+    skew (a byte value shared by many docs) is the standard LSH caveat;
+    widen bands or add a second-level split when a bucket explodes."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(_TOK_SPARK))
+        .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh"))
+        .withColumn("h", F.md5("sh"))
+    )
+    sums = d.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+                    >= 8,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    sig = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = sums.select("doc_id", sig.cast("long").alias("sig"))
+    cands = None
+    for k in range(4):
+        band = f"(sig div {1 << (8 * k)}) % 256"
+        a = sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
+            F.expr(band).alias("bv"),
+        )
+        b = sigs.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+            F.expr(band).alias("bv"),
+        )
+        c = a.join(b, "bv").where(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "sa", "sb"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS INT)"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_SIMHASH32_SUMS_DUCK = ", ".join(
+    "sum(CASE WHEN strpos('0123456789abcdef', substr(h, %d, 1)) - 1 >= 8 "
+    "THEN 1 ELSE -1 END) AS s%d" % (j + 1, j) for j in range(32)
+)
+_SIMHASH32_SIG_DUCK = " + ".join(
+    "CASE WHEN s%d > 0 THEN %d ELSE 0 END" % (j, 1 << j) for j in range(32)
+)
+_BAND_EQ_DUCK = " OR ".join(
+    "(a.sig // %d) %% 256 = (b.sig // %d) %% 256"
+    % (1 << (8 * k), 1 << (8 * k))
+    for k in range(4)
+)
+
+SQL_SIMHASH_NEARDUP_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLE_DUCK}) AS sh FROM t),
+hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+sums AS (SELECT doc_id, {_SIMHASH32_SUMS_DUCK} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH32_SIG_DUCK} AS BIGINT) AS sig FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_EQ_DUCK})
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Quality scoring: token count, char count, mean token length,
     stopword ratio — the web-text filter feature set."""
@@ -1671,6 +1757,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_dedup": (q_corpus_dedup, SQL_CORPUS_DEDUP),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_neardup_pairs": (q_simhash_neardup_pairs,
+                              SQL_SIMHASH_NEARDUP_PAIRS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
