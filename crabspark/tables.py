@@ -252,6 +252,21 @@ class Catalog:
     def delta_count(self, name: str) -> int:
         return len(self.state["tables"].get(name, {}).get("deltas", []))
 
+    def snapshots(self, name: str) -> list[int]:
+        """Committed rounds reachable by ``read_at`` for this table (the
+        Iceberg snapshot-log analogue): distinct delta rounds at or after
+        the chain's last overwrite, ascending. Empty when the table does
+        not exist."""
+        tbl = self.state["tables"].get(name)
+        if not tbl or not tbl["deltas"]:
+            return []
+        deltas = tbl["deltas"]
+        start = 0
+        for i, d in enumerate(deltas):
+            if d["mode"] == "overwrite":
+                start = i
+        return sorted({d["round"] for d in deltas[start:]})
+
     @property
     def committed_round(self) -> int:
         return self.state["committed_round"]

@@ -106,8 +106,20 @@ def test_time_travel_read_at(spark, tmp_path):
     assert {r["k"] for r in cat.read("t").collect()} == {"c", "d"}
     assert cat.read_at("t", -1) is None
     assert cat.read_at("missing", 2) is None
+    assert cat.snapshots("t") == [2]  # overwrite at 2 truncated history
+    assert cat.snapshots("missing") == []
     # compaction collapses history: pre-compaction rounds unreachable,
     # post-compaction state intact
     cat.compact("t", 3)
     assert cat.read_at("t", 2) is None
     assert {r["k"] for r in cat.read_at("t", 3).collect()} == {"c", "d"}
+    assert cat.snapshots("t") == [3]
+
+
+def test_snapshots_accumulate_over_appends(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "snap"), spark)
+    for r in range(3):
+        cat.append("t", df(spark, [(f"r{r}", r)]), r)
+        cat.commit(r)
+    assert cat.snapshots("t") == [0, 1, 2]
+    assert {x["k"] for x in cat.read_at("t", 1).collect()} == {"r0", "r1"}
