@@ -33,7 +33,8 @@ BENCH_QUERIES = [
     "dedup_clusters", "simhash", "simhash_neardup_pairs",
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
-    "embedding_neardup", "ann_ivf_kmeans", "sessionize", "token_histogram",
+    "embedding_neardup", "embedding_dedup", "ann_ivf_kmeans",
+    "sessionize", "token_histogram",
     "quality_filter", "repetition_stats", "source_rollup",
     "token_percentiles",
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",

@@ -1235,6 +1235,59 @@ SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= {_ND_THRESH}
 )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-space dedup APPLY — the same post-dedup-manifest shape as
+    corpus_dedup, driven by the vector modality: connected components over
+    the sign-bit-LSH cosine near-dup pairs, keep min vec_id per cluster
+    with its cluster_size. Demonstrates the clustering machinery composes
+    across modalities (text shingles and embeddings share one component
+    engine). Planted near-dups in the fixture side-input make every 10th
+    vector a 2-cluster, so the row is falsifiable."""
+    if _emb_fixture is None:
+        raise RuntimeError(
+            "fixtures/embeddings_aug.py not importable; compose "
+            "embedding_neardup_pairs + connected_components directly"
+        )
+    aug = _emb_fixture.augmented_df(spark, sf_dir)
+    pairs = embedding_neardup_pairs(aug).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels, _ = connected_components(pairs)
+    lab = (
+        aug.select(F.col("vec_id").alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias("vec_id"), "cluster_size")
+    )
+
+
+SQL_EMBEDDING_DEDUP = (
+    f"""
+WITH RECURSIVE {_emb_fixture.DUCK_AUG_CTE},
+pairs AS (SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEARDUP.strip() if _emb_fixture else ""}) p),
+edges AS (
+  SELECT vec_a AS s, vec_b AS t FROM pairs
+  UNION ALL SELECT vec_b AS s, vec_a AS t FROM pairs),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT r.src, e.t FROM reach r JOIN edges e ON e.s = r.dst),
+labels AS (
+  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT cluster_id AS vec_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY cluster_id
+"""
+    if _emb_fixture is not None
+    else None
+)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (the scale path past brute force): candidates are
     the vectors sharing >= 1 sign-bit band with the query (vec_id 0), then
@@ -1767,6 +1820,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),  # iterative: rows-only check
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),

@@ -119,7 +119,7 @@ def test_query_library_is_udf_free(spark):
     built from built-in expressions so Catalyst/WSCG own the hot path."""
     bad = {}
     for name, (fn, _sql) in sorted(Q.REGISTRY.items()):
-        if name in ("dedup_clusters", "corpus_dedup"):
+        if name in ("dedup_clusters", "corpus_dedup", "embedding_dedup"):
             continue  # iterative driver loop; components checked via
             # minhash_lsh_pairs (its only Spark input)
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
