@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "text_quality", "lang_id", "doc_fingerprint",
     "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
     "embedding_neardup", "embedding_dedup", "ann_ivf_kmeans",
-    "sessionize", "token_histogram",
+    "sessionize", "token_histogram", "bpe_token_stats",
     "quality_filter", "repetition_stats", "source_rollup",
     "token_percentiles",
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",

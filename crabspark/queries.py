@@ -1426,6 +1426,58 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 """
 
 
+# GPT-2-style pre-tokenizer regex (contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — each with the leading-space
+# convention), restricted to ASCII classes so the Java-regex and RE2
+# match sets are provably identical on this corpus.
+_BPE_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting the way a training pipeline budgets data: whitespace
+    tokens AND BPE-ish pre-tokens (the GPT-2 pre-tokenizer split that
+    upper-bounds real BPE token counts), plus their ratio — the standard
+    chars-per-token / tokens-per-word budget signals. Pure JVM
+    regexp_extract_all + size: zero shuffle, whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    n_ws = F.size(F.expr(_TOK_SPARK))
+    # column-form regexp_extract_all: the pattern's apostrophes would
+    # need quote-doubling inside a SQL string literal
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PRETOK), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_ws > 0, F.round(n_bpe / n_ws, 4))
+        .otherwise(F.lit(0.0))
+        .alias("bpe_per_word"),
+        F.when(n_bpe > 0, F.round(F.length("text") / n_bpe, 4))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_bpe"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text, len({_TOK_DUCK}) AS n_ws,
+         len(regexp_extract_all(lower(text),
+             '{_BPE_PRETOK.replace("'", "''")}')) AS n_bpe
+  FROM documents)
+SELECT doc_id,
+       CAST(n_ws AS INT) AS n_ws_tokens,
+       CAST(n_bpe AS INT) AS n_bpe_tokens,
+       CASE WHEN n_ws > 0
+            THEN round(CAST(n_bpe AS DOUBLE) / n_ws, 4) ELSE 0.0 END
+         AS bpe_per_word,
+       CASE WHEN n_bpe > 0
+            THEN round(CAST(length(text) AS DOUBLE) / n_bpe, 4)
+            ELSE 0.0 END AS chars_per_bpe
+FROM t
+"""
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-style document quality VERDICT (the keep/drop gate a
     training-data pipeline runs after scoring): first failing rule wins.
@@ -1823,6 +1875,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "bpe_token_stats": (q_bpe_token_stats, SQL_BPE_TOKEN_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "source_rollup": (q_source_rollup, SQL_SOURCE_ROLLUP),

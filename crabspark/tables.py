@@ -49,9 +49,10 @@ class Catalog:
         # not the directory: a failed job leaves partial files in a delta
         # dir no committed manifest ever references (abort() drops the
         # staged entry, GC removes the files).
-        spark.sparkContext._jsc.hadoopConfiguration().set(
-            "mapreduce.fileoutputcommitter.algorithm.version", "2"
-        )
+        if spark is not None:  # manifest-only use passes spark=None
+            spark.sparkContext._jsc.hadoopConfiguration().set(
+                "mapreduce.fileoutputcommitter.algorithm.version", "2"
+            )
 
     # Manifest format version. Bump when a table schema or required extra
     # changes incompatibly (v2: frontier.added_round, metrics.frontier_size,
