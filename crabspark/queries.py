@@ -1478,14 +1478,13 @@ FROM t
 """
 
 
-def q_quality_filter(spark, sf_dir):
-    """Gopher-style document quality VERDICT (the keep/drop gate a
-    training-data pipeline runs after scoring): first failing rule wins.
-    All float features are rounded to 4 places BEFORE thresholding on both
-    engines, so verdict branches are bit-stable across Spark and the
-    oracle."""
+def quality_verdict_expr():
+    """Gopher-style verdict Column over a ``toks`` array column — first
+    failing rule wins; float features rounded to 4 places BEFORE
+    thresholding so verdict branches are bit-stable across Spark and the
+    DuckDB oracle. Shared by the batch q_quality_filter and the streaming
+    quality gate (one definition, two execution modes)."""
     stop = ["the", "a", "and", "of", "to", "in", "is", "on"]
-    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
     stop_arr = F.array(*[F.lit(s) for s in stop])
     nt = F.size("toks")
     mtl = F.round(
@@ -1497,13 +1496,21 @@ def q_quality_filter(spark, sf_dir):
         F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))) / nt,
         4,
     )
-    verdict = (
+    return (
         F.when(nt < 10, "too_short")
         .when(nt > 100_000, "too_long")
         .when((mtl < 2.0) | (mtl > 12.0), "tok_len")
         .when(sr < 0.02, "low_stopword")
         .otherwise("keep")
     )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style document quality VERDICT (the keep/drop gate a
+    training-data pipeline runs after scoring): first failing rule wins —
+    see quality_verdict_expr for the shared rule definition."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    verdict = quality_verdict_expr()
     return d.select(
         "doc_id",
         verdict.alias("verdict"),

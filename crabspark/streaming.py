@@ -251,6 +251,58 @@ def start_neardup_gate(
     )
 
 
+def start_quality_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    catalog: Catalog,
+    checkpoint_dir: str,
+    docs_schema: str = "doc_id long, text string, lang string, source string",
+):
+    """Streaming quality gate: Gopher-style keep/drop at INGEST time — the
+    same verdict rules as the batch `quality_filter` (one shared
+    expression, `crabspark.queries.quality_verdict_expr`), applied per
+    micro-batch. Admitted docs land in ``clean_docs``; rejects land in
+    ``quality_log(doc_id, verdict)`` so the drop reasons are auditable.
+    Stateless (each doc judged on its own features), so the gate is pure
+    map-side work — no store, no join, no shuffle — and composes in front
+    of the stateful near-dup gate. Exactly-once via the shared
+    high-water-mark + atomic-manifest-commit pattern."""
+    ship_package(spark)
+    from crabspark.queries import _TOK_SPARK, quality_verdict_expr
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = int(catalog.extra("quality_last_batch", -1))
+        if int(batch_id) <= last:
+            return
+        judged = (
+            batch_df.withColumn("toks", F.expr(_TOK_SPARK))
+            .withColumn("verdict", quality_verdict_expr())
+            .drop("toks")
+            .localCheckpoint()  # judge once, feed both sinks
+        )
+        keep = judged.filter(F.col("verdict") == "keep").drop("verdict")
+        rejects = judged.filter(F.col("verdict") != "keep").select(
+            "doc_id", "verdict", F.lit(int(batch_id)).alias("batch")
+        )
+        catalog.append("clean_docs", keep, int(batch_id))
+        if not rejects.isEmpty():
+            catalog.append("quality_log", rejects, int(batch_id))
+        catalog.commit(int(batch_id), {"quality_last_batch": int(batch_id)})
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_polite_gate(
     spark: SparkSession,
     pages_dir: str,

@@ -374,3 +374,65 @@ def test_ingest_first_then_run_keeps_roots(spark, tmp_path):
     eng.run(max_rounds=3)
     urls = [r["url"] for r in eng.visit_log().collect()]
     assert "isle.example/solo.html" in urls  # root survived run()'s init
+
+
+def test_quality_gate_filters_at_ingest(spark, tmp_path):
+    """Streaming Gopher gate: per-batch keep/drop with the SAME verdict
+    expression as the batch quality_filter; rejects audited with reasons;
+    replay of a committed batch id is a no-op."""
+    import pandas as pd
+
+    from crabspark.streaming import start_quality_gate
+
+    long_ok = ("the quick planner folds constants and the executor streams "
+               "rows to a hash table while the sink commits atomically")
+    def doc(i, text, src="s"):
+        return {"doc_id": i, "text": text, "lang": "en", "source": src}
+
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+    # wave 1: doc 1 keeps; doc 2 too_short (<10 tokens)
+    pd.DataFrame([doc(1, long_ok), doc(2, "tiny doc here")]).to_parquet(
+        f"{docs_dir}/f1.parquet", index=False)
+    cat = Catalog(str(tmp_path / "cat"), spark)
+    q = start_quality_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert [r["doc_id"] for r in cat.read("clean_docs").collect()] == [1]
+    log = {r["doc_id"]: r["verdict"] for r in cat.read("quality_log").collect()}
+    assert log == {2: "too_short"}
+
+    # wave 2: doc 3 low-stopword junk (no stopwords at all), doc 4 keeps
+    junk = " ".join(f"tok{i}" for i in range(40))
+    pd.DataFrame([doc(3, junk), doc(4, long_ok)]).to_parquet(
+        f"{docs_dir}/f2.parquet", index=False)
+    q2 = start_quality_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q2.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in cat.read("clean_docs").collect()
+    ) == [1, 4]
+    log = {r["doc_id"]: r["verdict"] for r in cat.read("quality_log").collect()}
+    assert log == {2: "too_short", 3: "low_stopword"}
+
+    # verdict parity with the batch operator over the same rows
+    from crabspark import queries as Q
+    from pyspark.sql import functions as F
+    allrows = spark.createDataFrame(
+        [doc(1, long_ok), doc(2, "tiny doc here"), doc(3, junk),
+         doc(4, long_ok)],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("toks", F.expr(Q._TOK_SPARK))
+    batch_verdicts = {
+        r["doc_id"]: r["v"]
+        for r in allrows.select(
+            "doc_id", Q.quality_verdict_expr().alias("v")
+        ).collect()
+    }
+    assert batch_verdicts == {1: "keep", 2: "too_short",
+                              3: "low_stopword", 4: "keep"}
+
+    # replay guard: same checkpoint -> no duplicates
+    q3 = start_quality_gate(spark, docs_dir, cat, str(tmp_path / "ck"))
+    q3.awaitTermination(120)
+    assert sorted(
+        r["doc_id"] for r in cat.read("clean_docs").collect()
+    ) == [1, 4]
