@@ -165,3 +165,30 @@ def test_resume_equals_uninterrupted(spark, fixture_paths, tmp_path, tp_engine, 
     assert {u: (r["is_blocked"], r["is_complete"]) for u, r in vis.items()} == {
         u: (r["is_blocked"], r["is_complete"]) for u, r in vis_uninterrupted.items()
     }
+
+
+def test_time_travel_reproduces_round_states(tp_engine):
+    """Iceberg-style snapshot reads against a REAL crawl: read_at at each
+    committed round must reproduce exactly the cumulative state a reader
+    saw at the end of that round (per-round visited_ops row counts match
+    the metrics table's batch accounting), and the final snapshot equals
+    the current read."""
+    cat = tp_engine.catalog
+    metrics = {
+        r["round"]: r
+        for r in cat.read("metrics").orderBy("round").collect()
+    }
+    rounds = cat.snapshots("visited_ops")
+    assert rounds  # at least one committed round
+    cum = 0
+    for r in rounds:
+        if r not in metrics:
+            # the finalize round appends completion-mark ops only; it has
+            # no crawl metrics row and must be the last snapshot
+            assert r == rounds[-1], r
+            break
+        # visited_ops gains one row per visit + one per blocked op
+        cum += metrics[r]["batch_n"] + metrics[r]["blocked_n"]
+        assert cat.read_at("visited_ops", r).count() == cum, r
+    assert cat.read_at("visited_ops", rounds[-1]).count() == \
+        cat.read("visited_ops").count()
