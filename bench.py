@@ -51,6 +51,10 @@ def get_spark(cpus: int) -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # committer v2 at session build (see crabspark/tables.py Catalog)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         # 16g, not bigger: giant heaps triple per-round floors at local[32]
         # on this VM (see bench/scaling.py)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -59,6 +59,11 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> No
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # committer v2 at session build (see crabspark/tables.py Catalog)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         # 16g, NOT bigger: a 48g heap at local[32] tripled per-round
         # floors on this VM (GC/THP behavior of giant heaps); measured
         # 171s -> 88s on the identical 400k crawl just by shrinking it

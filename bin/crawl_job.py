@@ -36,7 +36,15 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=None)
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("crabspark-crawl").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("crabspark-crawl")
+        # committer v2 at session build (see crabspark/tables.py Catalog)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
+        .getOrCreate()
+    )
     cfg = Config.new(args.config)
     eng = Engine(
         spark, cfg, args.workdir,

@@ -429,12 +429,17 @@ def _lsh_shingle_pairs(spark, sf_dir, shingle_expr, n_bands, n_rows, thresh):
     n_hash = n_bands * n_rows
     # one materialization feeds all three consumers (minhash aggregation +
     # both sides of the verify join) — without it the tokenize+shingle
-    # computation runs three times per query
+    # computation runs three times per query. EAGER, deliberately: with
+    # eager=False the checkpoint materializes inside the consumer job and
+    # its task-completion accumulator updates race the ContextCleaner's
+    # unregistration of a previous invocation's SQL metrics — benign but
+    # it sprayed "non-existent accumulator" ERROR stack traces over the
+    # bench stderr (BENCH_r04 tail). Eager materialization scopes the
+    # lineage job to its own accumulators; measured zero ERROR lines over
+    # the full suite afterwards, with no wall-clock regression.
     sh = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOK_SPARK).alias("toks")
-    ).select("doc_id", F.expr(shingle_expr).alias("sh")).localCheckpoint(
-        eager=False
-    )
+    ).select("doc_id", F.expr(shingle_expr).alias("sh")).localCheckpoint()
     sigs = (
         sh.select("doc_id", F.explode("sh").alias("g"))
         .groupBy("doc_id")
@@ -1428,9 +1433,15 @@ GROUP BY token ORDER BY n DESC, token LIMIT 100
 
 # GPT-2-style pre-tokenizer regex (contractions, letter runs, digit runs,
 # punctuation runs, whitespace runs — each with the leading-space
-# convention), restricted to ASCII classes so the Java-regex and RE2
-# match sets are provably identical on this corpus.
-_BPE_PRETOK = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# convention), restricted to ASCII classes the Java-regex and RE2 engines
+# define identically. Whitespace is the explicit class [ \t\n\f\r], NOT
+# \s: Java's \s includes vertical tab (\x0B), RE2's does not, so the
+# shorthand is only corpus-contingently equivalent while the explicit
+# class is equivalent by definition.
+_BPE_PRETOK = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\f\rA-Za-z0-9]+"
+)
 
 
 def q_bpe_token_stats(spark, sf_dir):

@@ -69,6 +69,14 @@ def start_page_ingest(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # Abort-at-entry: if a previous invocation of ANY gate sharing this
+        # Catalog staged deltas and then failed before its commit, those
+        # deltas are still in Catalog._pending — without this, the retried
+        # batch would stage its own appends ON TOP and the next commit
+        # would publish both, duplicating rows. A foreachBatch sink owns
+        # the catalog for the duration of the call (gates on one catalog
+        # run sequentially), so dropping stale staged state here is safe.
+        catalog.abort()
         # Idempotent replay guard: a crash between catalog.commit and
         # Spark's checkpoint write replays the micro-batch with the same
         # batch_id — skip ids at or below the high-water mark. (Batch ids
@@ -177,6 +185,7 @@ def start_neardup_gate(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.abort()  # drop stale staged deltas from a failed batch
         last = int(catalog.extra("neardup_last_batch", -1))
         if int(batch_id) <= last:
             return
@@ -277,6 +286,7 @@ def start_quality_gate(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.abort()  # drop stale staged deltas from a failed batch
         last = int(catalog.extra("quality_last_batch", -1))
         if int(batch_id) <= last:
             return
@@ -379,6 +389,7 @@ def start_polite_gate(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.abort()  # drop stale staged deltas from a failed batch
         last = int(catalog.extra("polite_last_batch", -1))
         if int(batch_id) <= last:
             return
@@ -430,6 +441,7 @@ def start_host_rate(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.abort()  # drop stale staged deltas from a failed batch
         last = int(catalog.extra("hostrate_last_batch", -1))
         if int(batch_id) <= last:
             return

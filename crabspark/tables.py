@@ -45,14 +45,27 @@ class Catalog:
         # directory at TASK commit instead of the driver renaming every
         # file serially at JOB commit — the driver-serial residue in the
         # write phase (measured 2.6x scaling at 1->4 vs 3.7x for the
-        # pipeline). Safe here because atomicity lives in the manifest,
-        # not the directory: a failed job leaves partial files in a delta
-        # dir no committed manifest ever references (abort() drops the
-        # staged entry, GC removes the files).
+        # pipeline). Safe for CATALOG writes because atomicity lives in
+        # the manifest, not the directory: a failed job leaves partial
+        # files in a delta dir no committed manifest ever references
+        # (abort() drops the staged entry, GC removes the files).
+        #
+        # SESSION-WIDE SIDE EFFECT (documented contract): the committer
+        # version is a Hadoop conf, so it applies to every parquet write
+        # in this SparkSession, including writes outside the manifest's
+        # atomicity umbrella — those lose v1's job-commit atomicity (a
+        # failed job can leave partial files in the destination instead
+        # of in _temporary). Preferred setup is at session build
+        # (spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2,
+        # as bench.py / bin/crawl_job.py / tests do); this fallback only
+        # fires when the session builder didn't set it, and never
+        # OVERRIDES an explicit session-level choice.
         if spark is not None:  # manifest-only use passes spark=None
-            spark.sparkContext._jsc.hadoopConfiguration().set(
-                "mapreduce.fileoutputcommitter.algorithm.version", "2"
-            )
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            if hconf.get("mapreduce.fileoutputcommitter.algorithm.version") is None:
+                hconf.set(
+                    "mapreduce.fileoutputcommitter.algorithm.version", "2"
+                )
 
     # Manifest format version. Bump when a table schema or required extra
     # changes incompatibly (v2: frontier.added_round, metrics.frontier_size,
@@ -146,9 +159,23 @@ class Catalog:
         streaming ingest) can never regress the engine's round pointer."""
         with self._lock:
             for name, delta in self._pending:
-                self.state["tables"].setdefault(name, {"deltas": []})[
-                    "deltas"
-                ].append(delta)
+                tbl = self.state["tables"].setdefault(name, {"deltas": []})
+                # Per-table round monotonicity: read_at/snapshots assume each
+                # table's delta list is ordered by round, which holds only if
+                # every producer appending to a GIVEN table advances one
+                # shared counter (engine rounds and streaming batch ids are
+                # independent counters, so they must not share a table —
+                # and don't; this guard turns a silent non-prefix
+                # time-travel reconstruction into a loud error).
+                if tbl["deltas"] and delta["round"] < tbl["deltas"][-1]["round"]:
+                    raise RuntimeError(
+                        f"non-monotone delta round for table {name!r}: "
+                        f"staging round {delta['round']} after committed "
+                        f"round {tbl['deltas'][-1]['round']} — each table "
+                        "requires a single monotone round counter (did two "
+                        "producers with independent counters share it?)"
+                    )
+                tbl["deltas"].append(delta)
             self._pending.clear()
             self.state["committed_round"] = max(
                 rnd, self.state.get("committed_round", -1)
