@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "quality_filter", "repetition_stats", "source_rollup",
     "token_percentiles",
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
+    "pack_sequences", "mixture_sample",
 ]
 
 

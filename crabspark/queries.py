@@ -1854,6 +1854,158 @@ FROM p
 """
 
 
+# Sequence-packing budget (tokens per training sequence). Sized so fixture
+# docs (10-99 whitespace tokens, mean ~54) pack ~2-3 per sequence with
+# frequent straddles — the packing arithmetic is exercised, not vacuous.
+_PACK_BUDGET = 128
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — the step right after quality/dedup in every LLM
+    training pipeline: concatenate documents into fixed-token-budget
+    training sequences. Docs are sharded (doc_id % shards), ordered by
+    doc_id within a shard, and laid head-to-tail on the shard's token
+    tape; sequence k owns tape offsets [k*B, (k+1)*B). Per doc: the
+    sequence holding its first token, its offset inside that sequence,
+    and how many sequences it straddles (a doc crossing a boundary is
+    split across sequences — the packing convention of GPT-style
+    pretraining, where an EOS token separates docs and attention masks
+    handle the joins).
+
+    Scale shape: ONE shuffle (hash-partition by shard), then a running
+    sum inside each shard — the window never sees more than corpus/shards
+    rows and shard count scales with the cluster (here 8 for a
+    deterministic oracle; 10^5 at 100 TB). All arithmetic is exact
+    integer running sums, so parity with the oracle is bit-for-bit.
+    A global single-ordering pack would serialize the cluster; per-shard
+    tapes are how Megatron/GPT-NeoX data loaders actually shard packing."""
+    B = _PACK_BUDGET
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.expr(_TOK_SPARK)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("tape_start")
+    seq_id = F.floor((cum - F.col("n_tokens")) / B)
+    end_seq = F.floor((cum - 1) / B)
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        seq_id.cast("long").alias("seq_id"),
+        (cum - F.col("n_tokens") - seq_id * B).cast("long").alias("seq_offset"),
+        (end_seq - seq_id + 1).cast("long").alias("n_seqs_spanned"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len({_TOK_DUCK}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(cum - n_tokens
+            - CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+              * {_PACK_BUDGET} AS BIGINT) AS seq_offset,
+       CAST(floor((cum - 1) / {_PACK_BUDGET}.0)
+            - floor((cum - n_tokens) / {_PACK_BUDGET}.0) + 1 AS BIGINT)
+         AS n_seqs_spanned
+FROM c
+"""
+
+
+# Mixture sampling: total token budget as a fraction of the corpus (scale-
+# invariant, so the same query is non-vacuous at every sf), with per-source
+# weight w in 1..4 derived from the source's numeric suffix. 0.8 is chosen
+# so the top weight's implied rate exceeds 1.0 on the uniform fixture —
+# the least(1, ...) cap is exercised, not dead code.
+_MIX_BUDGET_FRAC = "0.8"
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture sampling — the "data recipe" step: given per-source
+    target weights and a total token budget, deterministically sample
+    each source at rate min(1, budget * w_s / sum(w) / tokens_s) using a
+    hash threshold on doc_id. Deterministic: the same doc is kept or
+    dropped on every run, every engine, every cluster size — which is
+    what makes a data recipe reproducible and resumable (vs rand(), which
+    changes the corpus under retry). The hash is the first 15 hex digits
+    of md5(doc_id) read as a 60-bit integer, a construction both Spark
+    (conv) and the oracle (hex cast) evaluate identically.
+
+    Scale shape: one map-side-combinable per-source token aggregation
+    (output rows = #sources, tiny), rates BROADCAST back, and the corpus
+    side filters map-side — the 100-TB side is never shuffled. The rate
+    arithmetic uses one fixed operation order so the IEEE doubles are
+    bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(_TOK_SPARK)).alias("n_tokens")
+    )
+    per = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    per = per.withColumn(
+        "wraw",
+        (F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 4 + 1),
+    )
+    tot = per.agg(
+        F.sum("wraw").alias("wsum"), F.sum("src_tokens").alias("tok_total")
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(_MIX_BUDGET_FRAC)) * F.col("wraw") * F.col("tok_total"))
+            / (F.col("wsum") * F.col("src_tokens")),
+        ).alias("rate"),
+    )
+    hfrac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(hfrac < F.col("rate"))
+        .select(
+            "doc_id", "source", "n_tokens", F.round("rate", 4).alias("rate")
+        )
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOK_DUCK}) AS n_tokens FROM documents),
+per AS (
+  SELECT source, sum(n_tokens) AS src_tokens,
+         CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1
+           AS wraw
+  FROM t GROUP BY source),
+tot AS (SELECT sum(wraw) AS wsum, sum(src_tokens) AS tok_total FROM per),
+rates AS (
+  SELECT source,
+         least(1.0, ({_MIX_BUDGET_FRAC} * wraw * tok_total)
+                    / (wsum * src_tokens)) AS rate
+  FROM per CROSS JOIN tot)
+SELECT t.doc_id, t.source, CAST(t.n_tokens AS INT) AS n_tokens,
+       round(r.rate, 4) AS rate
+FROM t JOIN rates r ON t.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 < r.rate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1901,6 +2053,8 @@ REGISTRY: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }
 
 

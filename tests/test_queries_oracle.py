@@ -172,3 +172,65 @@ def test_ann_ivf_recall(spark):
     assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0  # query itself
     recall = len(brute & {r["vec_id"] for r in rows}) / 10
     assert recall >= 0.8, recall
+
+
+def test_pack_sequences_tape_is_contiguous(spark):
+    """Per shard, the token tape must be gapless: each doc's tape start
+    equals the previous doc's start + length, sequences partition the
+    tape at exact multiples of the budget, and docs straddling a budget
+    boundary exist (otherwise the packing arithmetic is vacuous)."""
+    pdf = (
+        Q.REGISTRY["pack_sequences"][0](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    B = Q._PACK_BUDGET
+    for _, g in pdf.groupby("shard"):
+        starts = (g.seq_id * B + g.seq_offset).to_numpy()
+        lens = g.n_tokens.to_numpy()
+        assert starts[0] == 0
+        assert ((starts[:-1] + lens[:-1]) == starts[1:]).all()
+        # span accounting: last token's sequence minus first token's
+        spans = (starts + lens - 1) // B - starts // B + 1
+        assert (spans == g.n_seqs_spanned.to_numpy()).all()
+    assert (pdf.n_seqs_spanned > 1).any()
+
+
+def test_mixture_sample_hits_weights(spark):
+    """Achieved per-source sampling rate must track the target rate
+    within hash-sampling noise, and the least(1, .) cap must be
+    exercised by the fixture (target rate > 1 for the top weight)."""
+    m = Q.REGISTRY["mixture_sample"][0](spark, SF_DIR).toPandas()
+    d = (
+        Q._t(spark, SF_DIR, "documents")
+        .selectExpr("doc_id", "source", f"size({Q._TOK_SPARK}) AS nt")
+        .toPandas()
+    )
+    assert (m.rate == 1.0).any()  # cap exercised
+    tot = d.groupby("source").doc_id.count()
+    kept = m.groupby("source").doc_id.count().reindex(tot.index).fillna(0)
+    rate = m.groupby("source").rate.first().reindex(tot.index)
+    for src in tot.index:
+        if rate[src] == 1.0:
+            assert kept[src] == tot[src], src  # capped source keeps all
+        else:
+            # binomial noise bound: 4 sigma on n=25 docs/source
+            import math
+
+            sigma = math.sqrt(rate[src] * (1 - rate[src]) / tot[src])
+            assert abs(kept[src] / tot[src] - rate[src]) <= 4 * sigma + 1e-9, (
+                src, kept[src] / tot[src], rate[src]
+            )
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The rates side (one row per source) must broadcast so the corpus
+    side never shuffles — the join shape that matters at 100 TB."""
+    import re
+
+    plan = (
+        Q.REGISTRY["mixture_sample"][0](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"BroadcastHashJoin \[source#\d+", plan), plan
+    assert not re.search(r"SortMergeJoin \[source#\d+", plan), plan
