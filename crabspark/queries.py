@@ -1026,22 +1026,16 @@ def _assign_clusters(df, cents):
     )
 
 
-def q_ann_ivf_kmeans(spark, sf_dir, k=16, iters=3, nprobe=4, topk=10):
-    """IVF ANN with a TRAINED coarse quantizer: k-means (deterministic
-    first-k init, Lloyd iterations as DataFrame aggregations — one
-    posexplode shuffle per iteration, k x dim driver state only), then the
-    query probes its ``nprobe`` nearest centroids and exact cosine runs
-    over just those inverted lists — the FAISS-IVF shape, upgraded from
-    the static grid of q_ann_grid_buckets. At 100-TB scale the assignment
-    is one map-side pass and the lists are the partition layout.
-
-    No DuckDB oracle (iterative, not one-shot SQL — the driver records the
-    weaker rows-only check); correctness is pinned by recall vs the
-    brute-force baseline in test_ann_ivf_recall plus determinism of the
-    candidate construction."""
+def train_ivf_centroids(spark, sf_dir, k=16, iters=3):
+    """IVF coarse-quantizer TRAINING: k-means with deterministic first-k
+    init and Lloyd iterations as DataFrame aggregations — one posexplode
+    shuffle per iteration, k x dim driver state only. Iterative, so it has
+    no one-shot SQL oracle; it is pinned in pytest instead, by re-training
+    and comparing to the frozen literals the serving stage embeds
+    (crabspark/ivf_centroids.py) and by recall vs brute force."""
     import numpy as np
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = e.orderBy("vec_id").limit(k).collect()
     cents = np.array([r["embedding"] for r in init], dtype=float)
     for _ in range(iters):
@@ -1056,11 +1050,40 @@ def q_ann_ivf_kmeans(spark, sf_dir, k=16, iters=3, nprobe=4, topk=10):
         for row in means:
             nxt[row["cluster"]][row["pos"]] = row["m"]
         cents = nxt
+    return cents
 
+
+def q_ann_ivf_kmeans(spark, sf_dir, nprobe=None, topk=None):
+    """IVF ANN SERVING with a trained coarse quantizer — the FAISS-IVF
+    shape: assign every vector to its nearest centroid (pure expression,
+    no UDF), probe the query's ``nprobe`` nearest centroids, and run
+    exact cosine top-k over just those inverted lists. At 100-TB scale
+    the assignment is one map-side pass and the lists are the partition
+    layout.
+
+    The centroids are the FROZEN k-means output of
+    ``train_ivf_centroids`` over the sf0.001 fixture
+    (crabspark/ivf_centroids.py — provenance pinned by pytest re-training
+    them). Freezing splits training from serving exactly as a production
+    IVF index does (FAISS trains once, serves many): the serving stage
+    becomes one-shot SQL-expressible, so THIS query carries a full
+    rows+schema+value-hash DuckDB oracle instead of the rows-only check
+    the fused train+serve query was limited to."""
+    import numpy as np
+
+    from crabspark.ivf_centroids import IVF_CENTROIDS, IVF_NPROBE, IVF_TOPK
+
+    nprobe = nprobe or IVF_NPROBE
+    topk = topk or IVF_TOPK
+    cents = np.array(IVF_CENTROIDS, dtype=float)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     q = np.array(
         e.filter(F.col("vec_id") == 0).first()["embedding"], dtype=float
     )
-    probe = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    # probe selection is k tiny distance evaluations on the driver —
+    # O(k x dim), the same arithmetic the oracle's cdist/probe CTEs do
+    d2q = [float(sum((c - q) * (c - q))) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (d2q[i], i))[:nprobe]
     cand = _assign_clusters(e, cents).filter(
         F.col("cluster").isin([int(c) for c in probe])
     )
@@ -1083,6 +1106,59 @@ def q_ann_ivf_kmeans(spark, sf_dir, k=16, iters=3, nprobe=4, topk=10):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(topk)
     )
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    """DuckDB twin of the IVF serving stage, from the same frozen
+    centroid literals: cents VALUES table -> per-vector nearest-centroid
+    assignment (lowest cluster wins d2 ties, matching Spark's
+    array_position-of-array_min first-match) -> query's nprobe nearest
+    centroids -> exact cosine top-k over the probed lists."""
+    from crabspark.ivf_centroids import IVF_CENTROIDS, IVF_NPROBE, IVF_TOPK
+
+    rows = ",\n".join(
+        f"  ({i}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH cents(cluster, c) AS (VALUES
+{rows}),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+dist AS (
+  SELECT e.vec_id, e.label, e.embedding, cents.cluster,
+         list_sum(list_transform(list_zip(e.embedding, cents.c),
+                  p -> (CAST(p[1] AS DOUBLE) - p[2])
+                       * (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+  FROM embeddings e CROSS JOIN cents),
+asg AS (
+  SELECT vec_id, label, embedding, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM dist),
+cdist AS (
+  SELECT cluster,
+         list_sum(list_transform(list_zip(c, (SELECT qvec FROM q)),
+                  p -> (p[1] - CAST(p[2] AS DOUBLE))
+                       * (p[1] - CAST(p[2] AS DOUBLE)))) AS d2q
+  FROM cents),
+probe AS (SELECT cluster FROM cdist ORDER BY d2q, cluster LIMIT {IVF_NPROBE}),
+sims AS (
+  SELECT a.vec_id, a.label,
+         round(
+           list_sum(list_transform(list_zip(a.embedding, q.qvec),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qvec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos_sim
+  FROM asg a CROSS JOIN q
+  WHERE a.rn = 1 AND a.cluster IN (SELECT cluster FROM probe))
+SELECT vec_id, label, cos_sim FROM sims
+ORDER BY cos_sim DESC, vec_id LIMIT {IVF_TOPK}
+"""
+
+
+SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
 
 
 
@@ -2039,7 +2115,9 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_grid_buckets": (q_ann_grid_buckets, SQL_ANN_GRID_BUCKETS),
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),  # iterative: rows-only check
+    # serving stage over frozen trained centroids — full value-hash oracle;
+    # the iterative TRAINING loop is pinned in pytest (train == frozen)
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),

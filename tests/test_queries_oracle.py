@@ -159,8 +159,24 @@ def test_pii_scrub_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_ivf_frozen_centroids_reproduce(spark):
+    """Provenance of the frozen serving centroids: re-running the
+    training loop on the sf0.001 fixture must reproduce the literals in
+    crabspark/ivf_centroids.py (tolerance covers partial-aggregation
+    order wobble in the distributed avg; the literals are rounded to 8
+    decimals)."""
+    import numpy as np
+
+    from crabspark.ivf_centroids import IVF_CENTROIDS, IVF_K
+
+    trained = Q.train_ivf_centroids(spark, SF_DIR, k=IVF_K, iters=3)
+    frozen = np.array(IVF_CENTROIDS, dtype=float)
+    assert trained.shape == frozen.shape
+    assert np.abs(trained - frozen).max() < 1e-6
+
+
 def test_ann_ivf_recall(spark):
-    """IVF-k-means ANN (no SQL oracle — iterative): recall@10 vs the
+    """IVF serving over the frozen trained quantizer: recall@10 vs the
     brute-force cosine baseline must be high while scanning only
     nprobe/k of the corpus (measured 0.9 at nprobe=4/k=16 on the random
     fixture; asserted with margin for float-order wobble in the Lloyd
