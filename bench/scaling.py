@@ -39,16 +39,39 @@ sys.path.insert(0, REPO)
 # worker: one crawl at one parallelism level
 # ---------------------------------------------------------------------------
 
-def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int) -> None:
+def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int,
+               exec_mode: str = "local") -> None:
     from pyspark.sql import SparkSession
 
     from crabspark.config import Config
     from crabspark.engine import Engine
     from fixtures import gen_pages
 
+    if exec_mode == "cluster":
+        # Spark's built-in multi-JVM pseudo-cluster: cpus total cores as
+        # (cpus/4) SEPARATE EXECUTOR JVMs x 4 cores, each with its OWN
+        # heap, GC threads, and Python worker pool — the resource shape
+        # the single-JVM local[N] measurement lacks (VERDICT r4 item 3:
+        # is the 8->32 efficiency miss a threads-in-one-JVM artifact?).
+        # 4 cores/executor is the classic production sizing; 4g/executor
+        # keeps 8 executors + driver well inside the box.
+        n_exec = max(1, cpus // 4)
+        master = f"local-cluster[{n_exec},4,4096]"
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    else:
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder
+    if exec_mode == "cluster":
+        builder = (
+            builder.config("spark.executor.memory", "3g")
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-XX:+UseParallelGC",  # same collector as the local legs
+            )
+        )
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"crabspark-scaling-{cpus}")
+        builder.master(master)
+        .appName(f"crabspark-scaling-{exec_mode}-{cpus}")
         # shuffle partitions are sized to DATA, identical at every
         # parallelism level: per-task launch overhead is constant, so
         # core-proportional partition counts inflate the fixed per-round
@@ -264,10 +287,17 @@ def main() -> None:
                          "results are folded into the doc by hand)")
     ap.add_argument("--json-out", default=None,
                     help="also write the JSON report to this path")
+    ap.add_argument("--exec-mode", default="local",
+                    choices=["local", "cluster"],
+                    help="'local' = threads in one JVM (local[N]); "
+                         "'cluster' = local-cluster[N/4,4,4096] — separate "
+                         "executor JVMs with their own heaps/GC/Python "
+                         "pools, the faithful multi-node analogue")
     args = ap.parse_args()
 
     if args.worker:
-        run_worker(args.cpus, args.fxdir, args.out, args.cap, args.parts)
+        run_worker(args.cpus, args.fxdir, args.out, args.cap, args.parts,
+                   args.exec_mode)
         return
 
     pairs = []
@@ -330,7 +360,8 @@ def main() -> None:
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  "--cpus", str(cpus), "--fxdir", fxdir, "--out", out,
-                 "--cap", str(args.cap), "--parts", str(args.parts)],
+                 "--cap", str(args.cap), "--parts", str(args.parts),
+                 "--exec-mode", args.exec_mode],
                 check=True,
             )
             with open(out) as f:
@@ -367,6 +398,7 @@ def main() -> None:
             ),
         })
     report = {
+        "exec_mode": args.exec_mode,
         "pages": args.pages,
         "parts": args.parts,
         "repeats": max(1, args.repeats),
