@@ -66,7 +66,15 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int,
             builder.config("spark.executor.memory", "3g")
             .config(
                 "spark.executor.extraJavaOptions",
-                "-XX:+UseParallelGC",  # same collector as the local legs
+                # same collector as the local legs; each executor JVM sizes
+                # ergonomic thread pools off the WHOLE box's core count, so
+                # cap GC threads at the executor's core share (without the
+                # cap, 8 executors x ~23 ergonomic GC threads stampede a
+                # 32-core box at every young pause) — overridable for A/B
+                os.environ.get(
+                    "CRABSPARK_EXEC_JVM_OPTS",
+                    "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+                ),
             )
         )
     spark = (
