@@ -55,8 +55,9 @@ def run_worker(cpus: int, fxdir: str, out_path: str, cap: int, parts: int,
         # is the 8->32 efficiency miss a threads-in-one-JVM artifact?).
         # 4 cores/executor is the classic production sizing; 4g/executor
         # keeps 8 executors + driver well inside the box.
-        n_exec = max(1, cpus // 4)
-        master = f"local-cluster[{n_exec},4,4096]"
+        exec_cores = int(os.environ.get("CRABSPARK_EXEC_CORES", "4"))
+        n_exec = max(1, cpus // exec_cores)
+        master = f"local-cluster[{n_exec},{exec_cores},4096]"
         os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
     else:
         master = f"local[{cpus}]"
