@@ -48,10 +48,13 @@ def _docs_df(spark, start_id: int, n: int, twin_of: int | None = None,
     from pyspark.sql import functions as F
 
     base = spark.range(start_id, start_id + n).withColumnRenamed("id", "doc_id")
-    # 80 words drawn from a 5000-word vocab, position-salted per doc
+    # 80 words drawn from a 5000-word vocab; xxhash64(seed, j) word choice
+    # so cross-doc shingle collisions are chance-level — a linear
+    # congruential choice here made 2-gram runs collide across docs and
+    # flagged ~2 dups per doc, swamping the intended 2% twin rate
     text_for = (
         "concat_ws(' ', transform(sequence(0, 79), "
-        "j -> concat('w', pmod({seed} * 7 + j * 131, 5000))))"
+        "j -> concat('w', pmod(xxhash64({seed}, j), 5000))))"
     )
     own = F.expr(text_for.format(seed="doc_id"))
     if twin_of is not None:
@@ -106,9 +109,12 @@ def _pad_store(spark, catalog, n_pad: int, first_id: int) -> None:
             "transform(sequence(0, 59), j -> xxhash64(doc_id, j + 100))"
         ).alias("sh"),
     )
-    catalog.append("sig_bands", bands, 10)
-    catalog.append("sig_shingles", shingles, 10)
-    catalog.commit(10)
+    # round 0 = the seed batch's round: the catalog's per-table monotone
+    # round assert allows equal rounds, and the NEXT gate batch commits
+    # at round 1, so padding must not run the counter ahead of the stream
+    catalog.append("sig_bands", bands, 0)
+    catalog.append("sig_shingles", shingles, 0)
+    catalog.commit(0)
 
 
 def measure(spark, store_docs: int) -> dict:
@@ -132,8 +138,8 @@ def measure(spark, store_docs: int) -> dict:
         # compact so every size measures ONE read-optimized store layout
         # (the gate itself compacts every 16 deltas; without this, store
         # delta-count would vary across sizes and pollute the curve)
-        catalog.compact("sig_bands", 11)
-        catalog.compact("sig_shingles", 11)
+        catalog.compact("sig_bands", 0)
+        catalog.compact("sig_shingles", 0)
 
         batch_n = 2_000
         _docs_df(
