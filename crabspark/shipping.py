@@ -80,9 +80,21 @@ def _zip_matches(zip_path: str, contents: dict[str, bytes]) -> bool:
 
 
 def ship_package(spark) -> None:
-    """Idempotently attach the package zip to the session."""
+    """Idempotently attach the package zip to the session.
+
+    When the driver itself imported crabspark FROM a zip archive (the
+    ``spark-submit --py-files crabspark.zip`` launch path), the package
+    directory is not a real filesystem dir and cannot be re-zipped — and
+    does not need to be: --py-files already put the archive on every
+    executor's sys.path. Detect that case and no-op."""
     sc = spark.sparkContext
     if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    import crabspark
+
+    pkg_dir = os.path.dirname(os.path.abspath(crabspark.__file__))
+    if not os.path.isdir(pkg_dir):
+        setattr(sc, _SHIPPED_ATTR, True)
         return
     sc.addPyFile(build_zip())
     setattr(sc, _SHIPPED_ATTR, True)
