@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--branching", type=int, default=24)
     ap.add_argument("--frontier-buckets", type=int, default=64)
+    ap.add_argument("--exec-mode", default="local",
+                    choices=["local", "cluster"],
+                    help="'cluster' = local-cluster[cpus/4,4,4096]: separate "
+                         "executor JVMs, the config bench/scaling.py measured "
+                         "~2x faster than one shared JVM at high widths")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -61,8 +66,25 @@ def main() -> None:
                         branching=args.branching, body_scale=1)
         print(f"generated in {time.monotonic() - t0:.0f}s", file=sys.stderr)
 
+    if args.exec_mode == "cluster":
+        n_exec = max(1, args.cpus // 4)
+        master = f"local-cluster[{n_exec},4,4096]"
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        builder = (
+            SparkSession.builder.config("spark.executor.memory", "3g")
+            # cap ergonomic GC pools at the executor's core share — see
+            # bench/scaling.py (uncapped, 8 executor JVMs spawn ~23 GC
+            # threads EACH and stampede the box at every young pause)
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=4",
+            )
+        )
+    else:
+        master = f"local[{args.cpus}]"
+        builder = SparkSession.builder
     spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
+        builder.master(master)
         .appName("crabspark-growth")
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.adaptive.enabled", "true")
@@ -143,7 +165,7 @@ def main() -> None:
     md = [
         "\n## Stretch scale: "
         f"{args.pages / 1e6:.0f}M-page crawl, per-round state-size curve\n\n",
-        f"local[{args.cpus}], politeness off, host-bucketed frontier "
+        f"{master}, politeness off, host-bucketed frontier "
         f"({args.frontier_buckets} buckets), bucket-pruned fetch join. "
         f"**{visited:,} URLs in {total_wall:.0f}s = {ups} URLs/sec** "
         f"(incl. {fin_wall:.0f}s completion fixpoint).\n\n",
