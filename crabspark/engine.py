@@ -162,6 +162,11 @@ class Engine:
         # driver-side frontier-size estimate (None = unknown -> always trim)
         fs = self.catalog.extra("frontier_size")
         self.frontier_size = int(fs) if fs is not None else None
+        # consecutive pre-select folds skipped because the live frontier
+        # was drain-sized (see _round); in-memory only — a resume starts
+        # at 0 and simply folds one round earlier than strictly needed
+        self._fold_skips = 0
+        self.fold_skips_total = 0  # observability (tests/metrics)
         bloom_path = self.catalog.extra("bloom")
         if bloom_path and os.path.exists(bloom_path) and not fresh_seen:
             self.bloom = Bloom.load(bloom_path, cfg.bloom_capacity, cfg.bloom_fpp)
@@ -382,7 +387,27 @@ class Engine:
         if self.bucketed_frontier is not None:
             bound = self._visits_since_fold()
             if bound is None or bound > self.cfg.fetch_broadcast_limit:
-                self._fold_frontier(r - 1)
+                # The fold's dominant cost is the O(live+adds) bucketed
+                # REWRITE; the liveness anti-join it would save runs inside
+                # _live_frontier either way (as a shuffle instead of a
+                # broadcast once the mask is oversized). On a drain-sized
+                # frontier — the tail rounds after the crawl's biggest
+                # batch — the rewrite is pure overhead: pay one cheap
+                # shuffled rank instead and skip the fold. Consecutive
+                # skips are capped so a long small-frontier tail cannot
+                # grow the mask join unboundedly (each skipped round
+                # re-scans all visits since the last fold).
+                small_live = (
+                    self.frontier_size is not None
+                    and self.frontier_size
+                    <= self.cfg.fetch_broadcast_limit // 4
+                )
+                if small_live and self._fold_skips < 2:
+                    self._fold_skips += 1
+                    self.fold_skips_total += 1
+                else:
+                    self._fold_frontier(r - 1)
+                    self._fold_skips = 0
         ops = self.catalog.read("visited_ops")
         frontier = self._live_frontier(ops)
         if frontier is None:

@@ -457,3 +457,50 @@ def test_mask_size_gate_folds_early(both, spark, data, tmp_path_factory):
     folded = int(eng.catalog.extra("frontier_folded_round", -1))
     assert folded >= eng.round - 2
     assert eng._visits_since_fold() <= cfg.fetch_broadcast_limit + 50
+
+
+def test_drain_round_skips_fold_with_identical_output(
+    spark, data, tmp_path_factory
+):
+    """Round-5 perf fix: when the live-mask bound crosses the broadcast
+    gate but the frontier itself is drain-sized, the engine must SKIP the
+    O(live+adds) fold rewrite and let _live_frontier plan the shuffled
+    anti-join instead — the 2M-crawl tail round paid 8-16s of pure fold
+    for a 113k-row select. The crawl must still produce the identical
+    visit log and seen set vs the delta-layout run of the same config,
+    and at least one skip must actually happen (guarding against the
+    condition silently never firing)."""
+
+    def run(buckets, limit):
+        cfg = _cfg(buckets)
+        cfg.per_host_quota = None  # big batches: the bound accumulates
+        if limit:
+            cfg.fetch_broadcast_limit = limit
+        eng = Engine(
+            spark, cfg,
+            str(tmp_path_factory.mktemp(f"work_drainskip{buckets}_{limit}")),
+            pages_path=f"{data}/pages.parquet",
+            robots_path=f"{data}/robots.parquet",
+        )
+        eng.run()
+        h = hashlib.md5()
+        for row in eng.visit_log().select(
+            "round", "priority", "url"
+        ).collect():
+            h.update(
+                f"{row['round']}|{row['priority']}|{row['url']}\n".encode()
+            )
+        seen = hashlib.md5(
+            "\n".join(
+                sorted(r["url"] for r in eng.read_seen().collect())
+            ).encode()
+        ).hexdigest()
+        return eng, h.hexdigest(), seen
+
+    _, log_d, seen_d = run(0, None)  # delta layout, default limit
+    # bound crosses 30 after the crawl's big mid-rounds while the
+    # frontier estimate has drained to <= 30 // 4 rows
+    eng, log_b, seen_b = run(8, 30)
+    assert eng.fold_skips_total >= 1
+    assert log_b == log_d
+    assert seen_b == seen_d
