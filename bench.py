@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "token_percentiles",
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
     "pack_sequences", "mixture_sample",
+    "link_degrees", "pagerank", "anchor_texts", "latest_capture",
 ]
 
 

@@ -2083,6 +2083,231 @@ WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# web-graph analytics — the crawl's OTHER output. A frontier crawler's edge
+# list (who links to whom) is itself training-pipeline input: PageRank-style
+# authority scores gate quality sampling, in-degree finds hub/boilerplate
+# sinks, and inbound anchor text is a classic weak-supervision corpus. The
+# edge list is synthesized deterministically from lineitem (src = orderkey
+# fold, dst = partkey fold) so every sf has cycles, hubs, no-inlink nodes
+# AND true dangling nodes (dst residues ≥ _PR_SRC_MOD never appear as src).
+# ---------------------------------------------------------------------------
+
+# src folds into 0.._PR_SRC_MOD-1, dst into 0.._PR_DST_MOD-1; since
+# _PR_DST_MOD > _PR_SRC_MOD and gcd(7, _PR_DST_MOD) = 1, residues in
+# [_PR_SRC_MOD, _PR_DST_MOD) are dangling (outdeg 0) at every sf.
+_PR_SRC_MOD = 499
+_PR_DST_MOD = 512
+
+_EDGES_SPARK_COLS = (
+    "l_orderkey % 499 AS src",
+    "(l_partkey * 7) % 512 AS dst",
+)
+_EDGES_SQL = """
+SELECT DISTINCT l_orderkey % 499 AS src, (l_partkey * 7) % 512 AS dst
+FROM lineitem WHERE l_orderkey % 499 <> (l_partkey * 7) % 512
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(*_EDGES_SPARK_COLS)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_link_degrees(spark, sf_dir):
+    """Web-graph degree profile: out/in degree per node + dangling flag.
+    The crawl scheduler's skew input (mega-hub detection) and the first
+    thing any link-graph audit computes.
+
+    Scale shape: two map-side-combinable hash aggs over the edge list and
+    two small joins back to the node set — no all-pairs anything; at
+    100 TB the edge list shuffles once per agg on its key."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    o = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    i = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    return (
+        nodes.join(o, nodes.node == o.src, "left")
+        .join(i, nodes.node == i.dst, "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+            F.when(F.coalesce("outdeg", F.lit(0)) == 0, 1)
+            .otherwise(0).alias("is_dangling"),
+        )
+    )
+
+
+SQL_LINK_DEGREES = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+o AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS indeg FROM edges GROUP BY dst)
+SELECT n.node, coalesce(o.outdeg, 0) AS outdeg, coalesce(i.indeg, 0) AS indeg,
+       CASE WHEN coalesce(o.outdeg, 0) = 0 THEN 1 ELSE 0 END AS is_dangling
+FROM nodes n LEFT JOIN o ON n.node = o.node LEFT JOIN i ON n.node = i.node
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank, two Jacobi iterations unrolled (damping 0.5, N-scaled so
+    pr0 = 1 for every node; no dangling-mass redistribution — dangling
+    nodes simply leak, the common large-scale simplification). Two
+    iterations are unrolled so the whole computation is one-shot
+    SQL-expressible and the DuckDB oracle checks VALUES, not just shape;
+    the production fixpoint would iterate this exact round shape.
+
+    Scale shape: per iteration, one src-keyed join (edges × scores; at
+    scale, persist edges hash-partitioned by src and the join is
+    co-located) and one dst-keyed map-side-combinable sum — the classic
+    aggregate-messages round GraphX/Pregel run. Damping 0.5 is dyadic,
+    so the only cross-engine float divergence is summation order
+    (~1 ulp), far inside the round-to-4 tolerance."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = e.join(out, "src")  # (src, dst, outdeg)
+
+    c1 = ew.groupBy("dst").agg(F.sum(F.lit(1.0) / F.col("outdeg")).alias("m"))
+    pr1 = nodes.join(c1, nodes.node == c1.dst, "left").select(
+        "node", (F.lit(0.5) + F.lit(0.5) * F.coalesce("m", F.lit(0.0))).alias("pr")
+    )
+    c2 = (
+        ew.join(pr1, ew.src == pr1.node)
+        .groupBy("dst")
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("m"))
+    )
+    pr2 = nodes.join(c2, nodes.node == c2.dst, "left").select(
+        "node",
+        (F.lit(0.5) + F.lit(0.5) * F.coalesce("m", F.lit(0.0))).alias("pr"),
+    )
+    return pr2.select("node", F.round("pr", 4).alias("pagerank"))
+
+
+SQL_PAGERANK = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+c1 AS (
+  SELECT e.dst, sum(1.0 / o.outdeg) AS m
+  FROM edges e JOIN outdeg o ON e.src = o.src GROUP BY e.dst),
+pr1 AS (
+  SELECT n.node, 0.5 + 0.5 * coalesce(c1.m, 0.0) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.dst),
+c2 AS (
+  SELECT e.dst, sum(p.pr / o.outdeg) AS m
+  FROM edges e JOIN outdeg o ON e.src = o.src
+  JOIN pr1 p ON e.src = p.node GROUP BY e.dst),
+pr2 AS (
+  SELECT n.node, 0.5 + 0.5 * coalesce(c2.m, 0.0) AS pr
+  FROM nodes n LEFT JOIN c2 ON n.node = c2.dst)
+SELECT node, round(pr, 4) AS pagerank FROM pr2
+"""
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Inbound anchor-text aggregation per target URL — the weak-label
+    corpus every search/quality stack mines from a crawl (anchor text
+    describes the TARGET page). Anchor class count varies per target
+    (1..4 via the partkey fold) so n_anchors is non-vacuous.
+
+    Scale shape: one broadcast join (part dim is small; at 100 TB the
+    anchor dim is whatever page metadata rides the edge) and one
+    dst-keyed agg; collect_set is bounded by the 4-class anchor space,
+    so no per-key blowup. Anchors ship as a '|'-joined sorted string —
+    deterministic on both engines, cheap to hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    e = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_partkey").alias("target"),
+        F.element_at(
+            F.array(
+                F.col("p_name"),
+                F.lit("click here"),
+                F.concat(F.col("p_brand"), F.lit(" "), F.col("p_name")),
+                F.lit("read more"),
+            ),
+            (F.col("l_orderkey") % (F.col("p_partkey") % 4 + 1) + 1).cast("int"),
+        ).alias("anchor"),
+    )
+    return e.groupBy("target").agg(
+        F.count("*").alias("n_inlinks"),
+        F.size(F.collect_set("anchor")).alias("n_anchors"),
+        F.concat_ws("|", F.array_sort(F.collect_set("anchor"))).alias("anchors"),
+    )
+
+
+SQL_ANCHOR_TEXTS = """
+WITH e AS (
+  SELECT l.l_partkey AS target,
+         ([p.p_name, 'click here', p.p_brand || ' ' || p.p_name,
+           'read more'])[CAST(l.l_orderkey % (p.p_partkey % 4 + 1) + 1 AS INT)]
+           AS anchor
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT target, count(*) AS n_inlinks,
+       CAST(count(DISTINCT anchor) AS INT) AS n_anchors,
+       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+FROM e GROUP BY target
+"""
+
+
+def q_latest_capture(spark, sf_dir):
+    """Common-Crawl snapshot compaction: one row per canonical URL =
+    the LATEST capture (max warc_ts, capture_id desc tie-break). The
+    first thing any multi-snapshot corpus build runs — URL-level
+    latest-wins dedup across crawl snapshots.
+
+    Scale shape: one window rank over the canonical key (one shuffle);
+    at 100 TB this is the same merge-on-read latest-wins shape as the
+    visited_upsert operator, keyed on url hash."""
+    o = _t(spark, sf_dir, "orders")
+    cap = o.select(
+        F.col("o_orderkey").alias("capture_id"),
+        F.col("o_orderdate").alias("warc_ts"),
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".com/page/"),
+            (F.col("o_custkey")).cast("string"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("?utm=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    ).withColumn("canon", F.expr(_CANON_SPARK))
+    w = Window.partitionBy("canon").orderBy(
+        F.col("warc_ts").desc(), F.col("capture_id").desc()
+    )
+    return (
+        cap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("canon", "capture_id", "warc_ts")
+    )
+
+
+SQL_LATEST_CAPTURE = f"""
+WITH cap AS (
+  SELECT o_orderkey AS capture_id, o_orderdate AS warc_ts,
+         'https://www.host' || CAST(o_custkey % 20 AS VARCHAR) || '.com/page/'
+           || CAST(o_custkey AS VARCHAR)
+           || CASE WHEN o_orderkey % 3 = 0 THEN '?utm=1' ELSE '' END AS url
+  FROM orders),
+canon AS (SELECT capture_id, warc_ts, {_CANON_DUCK} AS canon FROM cap),
+ranked AS (
+  SELECT canon, capture_id, warc_ts,
+         ROW_NUMBER() OVER (PARTITION BY canon
+                            ORDER BY warc_ts DESC, capture_id DESC) AS rn
+  FROM canon)
+SELECT canon, capture_id, warc_ts FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2133,6 +2358,10 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "link_degrees": (q_link_degrees, SQL_LINK_DEGREES),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
+    "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
 }
 
 
