@@ -2125,23 +2125,9 @@ def q_link_degrees(spark, sf_dir):
     Scale shape: two map-side-combinable hash aggs over the edge list and
     two small joins back to the node set — no all-pairs anything; at
     100 TB the edge list shuffles once per agg on its key."""
-    e = _edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    o = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    i = e.groupBy("dst").agg(F.count("*").alias("indeg"))
-    return (
-        nodes.join(o, nodes.node == o.src, "left")
-        .join(i, nodes.node == i.dst, "left")
-        .select(
-            "node",
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-            F.coalesce("indeg", F.lit(0)).alias("indeg"),
-            F.when(F.coalesce("outdeg", F.lit(0)) == 0, 1)
-            .otherwise(0).alias("is_dangling"),
-        )
-    )
+    from crabspark.graph import node_degrees
+
+    return node_degrees(_edges(spark, sf_dir))
 
 
 SQL_LINK_DEGREES = f"""
@@ -2169,27 +2155,10 @@ def q_pagerank(spark, sf_dir):
     aggregate-messages round GraphX/Pregel run. Damping 0.5 is dyadic,
     so the only cross-engine float divergence is summation order
     (~1 ulp), far inside the round-to-4 tolerance."""
-    e = _edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    out = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ew = e.join(out, "src")  # (src, dst, outdeg)
+    from crabspark.graph import pagerank_scores
 
-    c1 = ew.groupBy("dst").agg(F.sum(F.lit(1.0) / F.col("outdeg")).alias("m"))
-    pr1 = nodes.join(c1, nodes.node == c1.dst, "left").select(
-        "node", (F.lit(0.5) + F.lit(0.5) * F.coalesce("m", F.lit(0.0))).alias("pr")
-    )
-    c2 = (
-        ew.join(pr1, ew.src == pr1.node)
-        .groupBy("dst")
-        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("m"))
-    )
-    pr2 = nodes.join(c2, nodes.node == c2.dst, "left").select(
-        "node",
-        (F.lit(0.5) + F.lit(0.5) * F.coalesce("m", F.lit(0.0))).alias("pr"),
-    )
-    return pr2.select("node", F.round("pr", 4).alias("pagerank"))
+    pr = pagerank_scores(_edges(spark, sf_dir), iters=2, damping=0.5)
+    return pr.select("node", F.round("pr", 4).alias("pagerank"))
 
 
 SQL_PAGERANK = f"""

@@ -1,0 +1,62 @@
+"""crabspark.graph: the iterative PageRank fixpoint the oracled
+2-iteration query (queries.q_pagerank) is one unrolling of, plus degree
+invariants."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crabspark import queries as Q
+from crabspark.graph import node_degrees, pagerank_scores
+from tests.sparkutil import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return Q._edges(spark, SF_DIR).cache()
+
+
+def test_degree_sums_equal_edge_count(spark, edges):
+    d = node_degrees(edges).agg(
+        F.sum("outdeg").alias("o"), F.sum("indeg").alias("i")
+    ).first()
+    n_edges = edges.count()
+    assert d["o"] == n_edges
+    assert d["i"] == n_edges
+
+
+def test_pagerank_converges_and_is_bounded(spark, edges):
+    """Damping 0.5 contracts the iteration by >= 2x per round; crossing
+    the localCheckpoint boundary (iters 9 vs 10, _CHECKPOINT_EVERY=8)
+    must not perturb values."""
+    a = pagerank_scores(edges, iters=9).withColumnRenamed("pr", "pr_a")
+    b = pagerank_scores(edges, iters=10).withColumnRenamed("pr", "pr_b")
+    j = a.join(b, "node")
+    row = j.agg(
+        F.max(F.abs(F.col("pr_a") - F.col("pr_b"))).alias("delta"),
+        F.min("pr_b").alias("lo"),
+        F.max("pr_b").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert row["n"] == node_degrees(edges).count()
+    # geometric contraction: |pr_10 - pr_9| <= 0.5^9 * O(1)
+    assert row["delta"] < 1e-2, row["delta"]
+    # (1-d) floor for no-inlink nodes; finite ceiling
+    assert row["lo"] >= 0.5 - 1e-12
+    assert row["hi"] < 100.0
+
+
+def test_unrolled_query_is_two_iterations(spark, edges):
+    """q_pagerank (the DuckDB-oracled unrolling) == pagerank_scores(iters=2)."""
+    unrolled = Q.q_pagerank(spark, SF_DIR)
+    loop = pagerank_scores(edges, iters=2).select(
+        "node", F.round("pr", 4).alias("pagerank")
+    )
+    assert unrolled.exceptAll(loop).count() == 0
+    assert loop.exceptAll(unrolled).count() == 0
