@@ -1432,3 +1432,19 @@ class Engine:
         if ops is None:
             return self._empty(OPS_SCHEMA)
         return ops.filter(F.col("op") == "visit").orderBy("round", "priority")
+
+    def link_graph(self) -> DataFrame:
+        """The crawl's distinct canonical link graph as (src, dst) — the
+        input shape crabspark.graph's degree/PageRank operators take.
+        Self-loops dropped (a page linking to itself contributes no
+        authority and breaks the dangling classification)."""
+        edges = self.catalog.read("edges")
+        if edges is None:
+            return self._empty("src string, dst string")
+        return (
+            edges.select(
+                F.col("parent").alias("src"), F.col("child").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )

@@ -192,3 +192,29 @@ def test_time_travel_reproduces_round_states(tp_engine):
         assert cat.read_at("visited_ops", r).count() == cum, r
     assert cat.read_at("visited_ops", rounds[-1]).count() == \
         cat.read("visited_ops").count()
+
+
+def test_link_graph_feeds_graph_operators(tp_engine, golden_full):
+    """The crawl's edge list drives crabspark.graph directly: degree sums
+    equal the distinct edge count, every linked-to child is in the seen
+    set (the frontier-dedup invariant, src/tools.rs:146), and PageRank
+    over the REAL crawl graph is bounded with its no-inlink floor."""
+    import pyspark.sql.functions as F
+
+    from crabspark.graph import node_degrees, pagerank_scores
+
+    g = tp_engine.link_graph().cache()
+    n_edges = g.count()
+    assert n_edges > 0
+    deg = node_degrees(g)
+    sums = deg.agg(F.sum("outdeg").alias("o"), F.sum("indeg").alias("i")).first()
+    assert sums["o"] == n_edges
+    assert sums["i"] == n_edges
+    # every dst was observed as a link => must be in the oracle's seen set
+    children = {r["dst"] for r in g.select("dst").distinct().collect()}
+    assert children <= golden_full.seen
+    pr = pagerank_scores(g, iters=4).collect()
+    assert len(pr) == deg.count()
+    assert all(r["pr"] >= 0.5 - 1e-12 for r in pr)
+    # a crawled web with converging links must separate hub from leaf
+    assert max(r["pr"] for r in pr) > min(r["pr"] for r in pr)
