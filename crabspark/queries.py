@@ -2082,6 +2082,91 @@ WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 """
 
 
+# Pseudo-paragraph width for line-level dedup: 5 tokens per line packs the
+# fixture's 10-99-token docs into 2-20 lines with a measured 11% corpus-wide
+# duplication rate at sf0.001 — the drop path is exercised, not vacuous.
+_LINE_W = 5
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style duplicated-paragraph removal — the third dedup
+    GRANULARITY (document-level exact/near dedup keeps whole docs; this
+    removes repeated LINES inside otherwise-unique docs: nav chrome,
+    cookie banners, license footers that survive doc-level dedup because
+    the surrounding prose differs). Deterministic segmentation: the doc's
+    token tape is cut into fixed 5-token pseudo-paragraphs (the fixture
+    text has no newlines; real corpora would split on '\\n', same plan
+    shape). A line is dropped from EVERY doc when it appears in more than
+    one distinct doc; survivors are reassembled in order and the cleaned
+    text is fingerprinted.
+
+    Scale shape: segmentation is pure array ops (no explode-regroup
+    shuffle); the corpus-wide line frequency is one map-side-combinable
+    hash agg keyed by line; the frequency join shuffles on the line key,
+    where the only skew is ultra-common boilerplate lines — exactly what
+    AQE skew-split handles, and at 100 TB the dup-line dictionary (lines
+    with df>1, a small fraction of all lines) can be broadcast instead so
+    the corpus side never shuffles. Reassembly is one hash agg back on
+    doc_id."""
+    W = _LINE_W
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) = 0 THEN array() ELSE "
+                f"transform(sequence(0, cast(ceil(size(toks)/{W}.0) as int) - 1), "
+                f"g -> array_join(slice(toks, g*{W}+1, {W}), ' ')) END"
+            )
+        ).alias("idx", "line"),
+    )
+    df = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        lines.join(df, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("ndocs") == 1).cast("int")).alias("n_kept"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.expr(
+                            "transform(sort_array(collect_list(struct(idx, line)) "
+                            "FILTER (WHERE ndocs = 1)), s -> s.line)"
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                ).cast("binary")
+            ).alias("clean_md5"),
+        )
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, CAST(ceil(len(toks)/{_LINE_W}.0) AS BIGINT) - 1)) AS g
+  FROM t),
+lines AS (
+  SELECT doc_id, g AS idx,
+         array_to_string(
+           toks[(g*{_LINE_W}+1):(g*{_LINE_W}+{_LINE_W})], ' ') AS line
+  FROM pos),
+df AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line)
+SELECT l.doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       md5(coalesce(
+         string_agg(l.line, ' ' ORDER BY l.idx)
+           FILTER (WHERE df.ndocs = 1), '')) AS clean_md5
+FROM lines l JOIN df USING (line)
+GROUP BY l.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # web-graph analytics — the crawl's OTHER output. A frontier crawler's edge
 # list (who links to whom) is itself training-pipeline input: PageRank-style
@@ -2327,6 +2412,7 @@ REGISTRY: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "link_degrees": (q_link_degrees, SQL_LINK_DEGREES),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),

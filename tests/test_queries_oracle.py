@@ -250,3 +250,33 @@ def test_mixture_sample_broadcasts_rates(spark):
     )
     assert re.search(r"BroadcastHashJoin \[source#\d+", plan), plan
     assert not re.search(r"SortMergeJoin \[source#\d+", plan), plan
+
+
+def test_line_dedup_drops_and_reassembles(spark):
+    """Non-vacuity + reassembly correctness for the paragraph-level dedup:
+    the fixture must exercise BOTH paths (some docs lose lines, some keep
+    everything), and a doc that keeps every line must fingerprint to
+    exactly its own segmented tape — proving reassembly preserves order
+    and spacing, not just counts."""
+    import hashlib
+
+    pdf = Q.REGISTRY["line_dedup"][0](spark, SF_DIR).toPandas()
+    assert (pdf.n_kept < pdf.n_lines).any(), "no duplicated lines dropped"
+    assert (pdf.n_kept == pdf.n_lines).any(), "no fully-unique doc"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    W = Q._LINE_W
+    checked = 0
+    for row in pdf.itertuples():
+        if row.n_kept != row.n_lines:
+            continue
+        toks = [t for t in docs[row.doc_id].lower().split() if t]
+        tape = " ".join(
+            " ".join(toks[g * W : g * W + W])
+            for g in range((len(toks) + W - 1) // W)
+        )
+        assert hashlib.md5(tape.encode()).hexdigest() == row.clean_md5
+        checked += 1
+    assert checked > 0
