@@ -2361,6 +2361,88 @@ SELECT canon, capture_id, warc_ts FROM ranked WHERE rn = 1
 """
 
 
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph: collapse the page edge list to one row per
+    (src_host, dst_host) with link count, distinct source pages, and an
+    internal-edge flag. Hosts fold from node ids (NODE % 20) the same way
+    the capture fixtures fold hosts. The host graph is the politeness
+    scheduler's planning input and the grain host-level PageRank runs at
+    — ~10^3x smaller than the page graph.
+
+    Scale shape: ONE map-side-combinable hash agg over the edge list; the
+    count-distinct key space per group is bounded by pages-per-host, not
+    corpus size."""
+    from crabspark.graph import host_graph
+
+    return host_graph(_edges(spark, sf_dir), host_of="NODE % 20")
+
+
+SQL_HOST_GRAPH = f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT src % 20 AS src_host, (dst % 20) AS dst_host,
+       count(*) AS n_links,
+       count(DISTINCT src) AS n_src_pages,
+       max(CASE WHEN src % 20 = dst % 20 THEN 1 ELSE 0 END) AS is_internal
+FROM edges GROUP BY src_host, dst_host
+"""
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities, two full iterations unrolled, mean-1
+    normalized after every half-step (sum of scores = node count — the
+    same N-scaling as q_pagerank, keeping values O(1) at any graph
+    size). The second authority fixpoint besides PageRank: hubs find
+    directory/index pages, authorities find content pages — both feed
+    crawl prioritization and corpus quality weighting.
+
+    Scale shape: each half-step is one edge-keyed equi-join + one
+    map-side-combinable sum (the same aggregate-messages round as
+    PageRank) plus an O(1)-row global-sum broadcast; unrolling two
+    iterations makes it one-shot SQL-expressible so the oracle checks
+    VALUES (the production fixpoint in crabspark.graph iterates the
+    same round shape)."""
+    from crabspark.graph import hits_scores
+
+    h = hits_scores(_edges(spark, sf_dir), iters=2)
+    return h.select(
+        "node", F.round("auth", 4).alias("auth"), F.round("hub", 4).alias("hub")
+    )
+
+
+SQL_HITS = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+a1r AS (SELECT e.dst AS node, sum(h.hub) AS m
+        FROM edges e JOIN h0 h ON e.src = h.node GROUP BY e.dst),
+a1u AS (SELECT n.node, coalesce(a1r.m, 0.0) AS auth
+        FROM nodes n LEFT JOIN a1r ON n.node = a1r.node),
+a1 AS (SELECT node, auth * (SELECT n FROM nn)
+                    / (SELECT sum(auth) FROM a1u) AS auth FROM a1u),
+h1r AS (SELECT e.src AS node, sum(a.auth) AS m
+        FROM edges e JOIN a1 a ON e.dst = a.node GROUP BY e.src),
+h1u AS (SELECT n.node, coalesce(h1r.m, 0.0) AS hub
+        FROM nodes n LEFT JOIN h1r ON n.node = h1r.node),
+h1 AS (SELECT node, hub * (SELECT n FROM nn)
+                    / (SELECT sum(hub) FROM h1u) AS hub FROM h1u),
+a2r AS (SELECT e.dst AS node, sum(h.hub) AS m
+        FROM edges e JOIN h1 h ON e.src = h.node GROUP BY e.dst),
+a2u AS (SELECT n.node, coalesce(a2r.m, 0.0) AS auth
+        FROM nodes n LEFT JOIN a2r ON n.node = a2r.node),
+a2 AS (SELECT node, auth * (SELECT n FROM nn)
+                    / (SELECT sum(auth) FROM a2u) AS auth FROM a2u),
+h2r AS (SELECT e.src AS node, sum(a.auth) AS m
+        FROM edges e JOIN a2 a ON e.dst = a.node GROUP BY e.src),
+h2u AS (SELECT n.node, coalesce(h2r.m, 0.0) AS hub
+        FROM nodes n LEFT JOIN h2r ON n.node = h2r.node),
+h2 AS (SELECT node, hub * (SELECT n FROM nn)
+                    / (SELECT sum(hub) FROM h2u) AS hub FROM h2u)
+SELECT a2.node, round(a2.auth, 4) AS auth, round(h2.hub, 4) AS hub
+FROM a2 JOIN h2 ON a2.node = h2.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2417,6 +2499,8 @@ REGISTRY: dict[str, tuple] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "anchor_texts": (q_anchor_texts, SQL_ANCHOR_TEXTS),
     "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "hits": (q_hits, SQL_HITS),
 }
 
 

@@ -60,3 +60,35 @@ def test_unrolled_query_is_two_iterations(spark, edges):
     )
     assert unrolled.exceptAll(loop).count() == 0
     assert loop.exceptAll(unrolled).count() == 0
+
+
+def test_hits_mean_one_and_star_graph(spark):
+    """On a star graph (hub 0 -> authorities 1..4, plus a reverse edge
+    5 -> 0), node 0 must be the top hub and nodes 1-4 the top
+    authorities; every half-step is mean-1 normalized so each score
+    column must sum to the node count."""
+    from crabspark.graph import hits_scores
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 0)], ["src", "dst"]
+    )
+    h = hits_scores(e, iters=3).toPandas().set_index("node").sort_index()
+    n = len(h)
+    assert abs(h.auth.sum() - n) < 1e-9
+    assert abs(h.hub.sum() - n) < 1e-9
+    assert h.hub.idxmax() == 0
+    assert set(h.auth.nlargest(4).index) == {1, 2, 3, 4}
+    assert h.loc[5, "auth"] == 0.0  # nothing links to 5
+
+
+def test_host_graph_accounts_every_edge(spark, edges):
+    """Host-graph link counts must partition the edge list exactly, and
+    internal edges (src_host == dst_host) must carry is_internal=1."""
+    from crabspark.graph import host_graph
+
+    hg = host_graph(edges, host_of="NODE % 20").toPandas()
+    assert hg.n_links.sum() == edges.count()
+    internal = hg[hg.src_host == hg.dst_host]
+    assert (internal.is_internal == 1).all()
+    assert (hg[hg.src_host != hg.dst_host].is_internal == 0).all()
+    assert (hg.n_src_pages <= hg.n_links).all()
