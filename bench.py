@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
     "pack_sequences", "mixture_sample", "line_dedup",
     "link_degrees", "pagerank", "anchor_texts", "latest_capture",
-    "host_graph", "hits",
+    "host_graph", "hits", "capture_churn",
 ]
 
 

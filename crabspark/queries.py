@@ -2361,6 +2361,90 @@ SELECT canon, capture_id, warc_ts FROM ranked WHERE rn = 1
 """
 
 
+def q_capture_churn(spark, sf_dir):
+    """Per-host churn across crawl snapshots: for each canonical URL,
+    order its captures by (warc_ts, capture_id) and compare each
+    capture's content signature to the previous one; roll up per host
+    into first-seen / changed / unchanged counts and a change rate. The
+    re-crawl scheduler's core input — hosts with high churn get
+    re-crawled often, static hosts get demoted (the revisit policy every
+    production crawler tunes).
+
+    Scale shape: one window shuffle keyed on the canonical URL (the same
+    key the capture store would already be bucketed by) + one map-side-
+    combinable host rollup; nothing quadratic, nothing driver-side."""
+    o = _t(spark, sf_dir, "orders")
+    cap = o.select(
+        F.col("o_orderkey").alias("capture_id"),
+        F.col("o_orderdate").alias("warc_ts"),
+        (F.col("o_orderkey") % 7).alias("sig"),
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".com/page/"),
+            (F.col("o_custkey")).cast("string"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("?utm=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    ).withColumn("canon", F.expr(_CANON_SPARK))
+    w = Window.partitionBy("canon").orderBy("warc_ts", "capture_id")
+    flagged = cap.withColumn("prev_sig", F.lag("sig").over(w)).select(
+        F.regexp_extract("canon", r"^(host\d+)\.", 1).alias("host"),
+        F.when(F.col("prev_sig").isNull(), "new")
+        .when(F.col("prev_sig") != F.col("sig"), "changed")
+        .otherwise("unchanged")
+        .alias("kind"),
+    )
+    return flagged.groupBy("host").agg(
+        F.count("*").alias("n_captures"),
+        F.sum((F.col("kind") == "new").cast("int")).alias("n_new"),
+        F.sum((F.col("kind") == "changed").cast("int")).alias("n_changed"),
+        F.sum((F.col("kind") == "unchanged").cast("int")).alias("n_unchanged"),
+        F.round(
+            F.sum((F.col("kind") == "changed").cast("int"))
+            / F.nullif(
+                F.sum((F.col("kind") != "new").cast("int")), F.lit(0)
+            ),
+            4,
+        ).alias("change_rate"),
+    )
+
+
+SQL_CAPTURE_CHURN = f"""
+WITH cap AS (
+  SELECT o_orderkey AS capture_id, o_orderdate AS warc_ts,
+         o_orderkey % 7 AS sig,
+         'https://www.host' || CAST(o_custkey % 20 AS VARCHAR) || '.com/page/'
+           || CAST(o_custkey AS VARCHAR)
+           || CASE WHEN o_orderkey % 3 = 0 THEN '?utm=1' ELSE '' END AS url
+  FROM orders),
+canon AS (SELECT capture_id, warc_ts, sig, {_CANON_DUCK} AS canon FROM cap),
+flagged AS (
+  SELECT regexp_extract(canon, '^(host[0-9]+)\\.', 1) AS host,
+         CASE
+           WHEN lag(sig) OVER (PARTITION BY canon
+                               ORDER BY warc_ts, capture_id) IS NULL
+             THEN 'new'
+           WHEN lag(sig) OVER (PARTITION BY canon
+                               ORDER BY warc_ts, capture_id) <> sig
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS kind
+  FROM canon)
+SELECT host, count(*) AS n_captures,
+       CAST(sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(CASE WHEN kind = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unchanged,
+       round(sum(CASE WHEN kind = 'changed' THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN kind <> 'new' THEN 1 ELSE 0 END), 0),
+             4) AS change_rate
+FROM flagged
+GROUP BY host
+"""
+
+
 def q_host_graph(spark, sf_dir):
     """Host-level link graph: collapse the page edge list to one row per
     (src_host, dst_host) with link count, distinct source pages, and an
@@ -2501,6 +2585,7 @@ REGISTRY: dict[str, tuple] = {
     "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "hits": (q_hits, SQL_HITS),
+    "capture_churn": (q_capture_churn, SQL_CAPTURE_CHURN),
 }
 
 
