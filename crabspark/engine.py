@@ -1448,3 +1448,15 @@ class Engine:
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
+
+    def host_graph(self) -> DataFrame:
+        """The crawl's link graph collapsed to host level — one row per
+        (src_host, dst_host) with link count / distinct source pages /
+        internal flag. Edge nodes are STORAGE-canonical URLs
+        (format_url_for_storage: scheme+www+query stripped, so the host
+        is everything before the first '/'); extraction is one JVM-side
+        split, no Python in the path. The collapse itself is
+        crabspark.graph.host_graph's single map-side-combinable agg."""
+        from crabspark.graph import host_graph as _host_graph
+
+        return _host_graph(self.link_graph(), host_of="split(NODE, '/')[0]")

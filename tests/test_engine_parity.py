@@ -218,3 +218,9 @@ def test_link_graph_feeds_graph_operators(tp_engine, golden_full):
     assert all(r["pr"] >= 0.5 - 1e-12 for r in pr)
     # a crawled web with converging links must separate hub from leaf
     assert max(r["pr"] for r in pr) > min(r["pr"] for r in pr)
+    # host-level collapse partitions the edge list exactly; hosts are
+    # real (extracted from the canonical URLs, non-empty)
+    hg = tp_engine.host_graph().collect()
+    assert sum(r["n_links"] for r in hg) == n_edges
+    assert all(r["src_host"] and r["dst_host"] for r in hg)
+    assert any(r["is_internal"] == 1 for r in hg)
