@@ -124,18 +124,31 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
     the production fixpoint iterates the same round shape."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    # Materialize the graph ONCE: with per-half-step lineage cuts below,
+    # each half-step is its own job, so a lazy edge list would re-scan and
+    # re-distinct its source 2x per iteration (lazy single-query plans get
+    # ReusedExchange dedup; separate jobs do not). Same contract as
+    # GraphX's materialized edge RDD.
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
 
     def _normalize(scores: DataFrame, col: str) -> DataFrame:
         tot = scores.agg(
             F.sum(col).alias("_tot"), F.count("*").alias("_n")
         )
-        return scores.crossJoin(F.broadcast(tot)).select(
+        out = scores.crossJoin(F.broadcast(tot)).select(
             "node",
             (F.col(col) * F.col("_n") / F.col("_tot")).alias(col),
         )
+        # Truncate lineage EVERY half-step: the normalization references
+        # its input subtree twice (values + global sum), so without a cut
+        # the plan doubles per half-step — 4 half-steps already compile to
+        # ~12k plan lines / 800 exchanges. Materializing one score row per
+        # node per half-step is exactly the Pregel superstep contract and
+        # keeps the plan linear in `iters`.
+        return out.localCheckpoint(eager=True)
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
@@ -162,7 +175,4 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
             ),
             "hub",
         )
-        if (k + 1) % _CHECKPOINT_EVERY == 0 and k + 1 < iters:
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
     return auth.join(hub, "node")
