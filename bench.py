@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
     "pack_sequences", "mixture_sample", "line_dedup",
     "link_degrees", "pagerank", "anchor_texts", "latest_capture",
-    "host_graph", "hits", "capture_churn",
+    "host_graph", "hits", "capture_churn", "distinct_sketch",
+    "heavy_hitters",
 ]
 
 

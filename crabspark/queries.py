@@ -2361,6 +2361,172 @@ SELECT canon, capture_id, warc_ts FROM ranked WHERE rn = 1
 """
 
 
+# HyperLogLog geometry: 256 registers (b=8), 60-bit md5-derived hash
+# (4 hex digits short of 64 so the int is exactly representable on both
+# engines), alpha_256 = 0.7213/(1 + 1.079/256). The register sum is kept
+# in EXACT integer arithmetic (sum of 2^(53-rho) as bigint, max 2^61) so
+# the estimate is one float division — bit-identical across engines with
+# no summation-order sensitivity.
+_HLL_ALPHA_NUM = 0.7182725932495458 * 65536.0 * 9007199254740992.0
+
+
+def q_distinct_sketch(spark, sf_dir):
+    """HyperLogLog distinct-token count per source, built from scratch on
+    md5 so Spark and the oracle compute IDENTICAL registers (Spark's
+    approx_count_distinct and DuckDB's approx_distinct use different
+    sketches and can never value-match; this one does, exactly). The
+    100-TB use case is cardinality accounting where exact count-distinct
+    is the bottleneck: distinct URLs per shard, distinct tokens per
+    source, frontier-size estimation — one pass, 256 registers per group,
+    mergeable across partitions by construction (max per register is
+    associative-commutative).
+
+    Scale shape: one map-side-combinable max per (source, register) —
+    output rows = sources x 256 regardless of corpus size — then one
+    tiny per-source fold; the exact count-distinct alongside (for the
+    measured error) is the expensive comparator the sketch replaces.
+
+    rho (leading-zero rank) comes from length(bin(x)) — integer bit
+    length, not float log2, which is not guaranteed exact at powers of
+    two across engines."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    toks = d.select("source", F.explode("toks").alias("tok"))
+    h = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "source",
+        (F.col("h") % 256).alias("reg"),
+        # integer shift, NOT /256: float division rounds away the low
+        # bits of a 60-bit hash (doubles carry 53), corrupting rho
+        F.shiftright(F.col("h"), 8).alias("rem"),
+    )
+    rho = h.select(
+        "source",
+        "reg",
+        F.when(F.col("rem") == 0, F.lit(53))
+        .otherwise(53 - F.length(F.expr("bin(rem)")))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("source", "reg").agg(F.max("rho").alias("mrho"))
+    sketch = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mrho)"))
+            + (F.lit(256) - F.count("*")) * F.lit(1 << 53)
+        ).alias("s_int"),
+        (F.lit(256) - F.count("*")).alias("v_empty"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("n_exact")
+    )
+    # standard HLL small-range branch: when the raw estimate is below
+    # 2.5m and registers are still empty, linear counting on register
+    # vacancy is far more accurate. floor(256*ln(256/V)) is verified
+    # floor-identical between the JVM and DuckDB for EVERY possible
+    # V in 1..255 (test-pinned exhaustively), so the branch keeps exact
+    # cross-engine parity despite ln being only ulp-close.
+    est_raw = F.lit(_HLL_ALPHA_NUM) / F.col("s_int").cast("double")
+    est = (
+        F.when(
+            (est_raw <= F.lit(640.0)) & (F.col("v_empty") > 0),
+            F.floor(F.lit(256.0) * F.log(F.lit(256.0) / F.col("v_empty"))),
+        )
+        .otherwise(F.floor(est_raw))
+        .cast("long")
+    )
+    return (
+        exact.join(sketch, "source")
+        .select("source", "n_exact", est.alias("hll_estimate"))
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ),
+        )
+    )
+
+
+SQL_DISTINCT_SKETCH = f"""
+WITH t AS (SELECT source, unnest({_TOK_DUCK}) AS tok FROM documents),
+h AS (
+  SELECT source, tok,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM t),
+parts AS (
+  SELECT source, tok, h % 256 AS reg, h // 256 AS rem FROM h),
+rho AS (
+  SELECT source, reg,
+         CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END AS rho
+  FROM parts),
+regs AS (SELECT source, reg, max(rho) AS mrho FROM rho GROUP BY source, reg),
+sketch AS (
+  SELECT source,
+         sum((CAST(1 AS BIGINT) << (53 - mrho)))
+           + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_int,
+         256 - count(*) AS v_empty
+  FROM regs GROUP BY source),
+est AS (
+  SELECT source,
+         CAST(CASE
+           WHEN {_HLL_ALPHA_NUM!r} / CAST(s_int AS DOUBLE) <= 640.0
+                AND v_empty > 0
+             THEN floor(256.0 * ln(256.0 / v_empty))
+           ELSE floor({_HLL_ALPHA_NUM!r} / CAST(s_int AS DOUBLE))
+         END AS BIGINT) AS hll_estimate
+  FROM sketch),
+exact AS (
+  SELECT source, count(DISTINCT tok) AS n_exact FROM t GROUP BY source)
+SELECT e.source, e.n_exact, s.hll_estimate,
+       round(abs(s.hll_estimate - e.n_exact) / e.n_exact, 4) AS rel_err
+FROM exact e JOIN est s ON e.source = s.source
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact per-source top-10 tokens by occurrence count (ties broken by
+    token) — the heavy-hitters query every corpus audit runs (dominant
+    boilerplate tokens, stopword drift per source). Exact two-level
+    computation instead of a count-min sketch: the first groupBy is
+    map-side combinable so the shuffle carries one row per distinct
+    (source, token), and the top-k window only ranks within each source.
+
+    Scale shape: partial-agg shuffle on (source, token) then a window
+    over source — the window's partition is bounded by the source's
+    distinct vocabulary, and at 100 TB a pre-trim (rank within shard,
+    keep 10x k per shard) bounds even that; the fixture registers the
+    untrimmed exact plan."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    counts = (
+        d.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("source", F.col("tok").alias("token"), "cnt", "rank")
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH t AS (SELECT source, unnest({_TOK_DUCK}) AS tok FROM documents),
+counts AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY source, tok),
+ranked AS (
+  SELECT source, tok AS token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rank
+  FROM counts)
+SELECT source, token, cnt, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q_capture_churn(spark, sf_dir):
     """Per-host churn across crawl snapshots: for each canonical URL,
     order its captures by (warc_ts, capture_id) and compare each
@@ -2586,6 +2752,8 @@ REGISTRY: dict[str, tuple] = {
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "hits": (q_hits, SQL_HITS),
     "capture_churn": (q_capture_churn, SQL_CAPTURE_CHURN),
+    "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }
 
 

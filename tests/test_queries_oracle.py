@@ -280,3 +280,72 @@ def test_line_dedup_drops_and_reassembles(spark):
         assert hashlib.md5(tape.encode()).hexdigest() == row.clean_md5
         checked += 1
     assert checked > 0
+
+
+def test_hll_ln_floor_parity_exhaustive(spark, duck):
+    """The distinct_sketch small-range branch computes
+    floor(256 * ln(256/V)); ln is only ulp-close between the JVM and
+    DuckDB, so cross-engine parity rests on the FLOOR agreeing. V's
+    domain is just 1..255 — pin floor-identity over all of it."""
+    s = {
+        r["v"]: r["f"]
+        for r in spark.sql(
+            "select v, floor(256.0 * ln(256.0 / v)) as f "
+            "from (select explode(sequence(1, 255)) v)"
+        ).collect()
+    }
+    d = duck.execute(
+        "select v, floor(256.0 * ln(256.0 / v)) as f "
+        "from (select unnest(generate_series(1, 255)) v)"
+    ).fetchall()
+    assert all(float(s[v]) == float(f) for v, f in d)
+
+
+def test_hll_accuracy_across_decades(spark):
+    """The fixture's per-source vocabulary (~30 tokens) only exercises
+    the linear-counting branch; drive the same estimator pipeline over
+    synthetic cardinalities spanning both branches. Tolerance is 3-sigma
+    for m=256 (1.04/16 = 6.5% standard error, so ~20%): a deterministic
+    hash is a SINGLE draw with no averaging — this pins the plumbing
+    (branch selection, integer-exact registers, rho), not the estimator's
+    average-case statistics (measured: -5%..+19% over 400..50k)."""
+    import pyspark.sql.functions as F
+
+    for n, tol in ((25, 0.10), (400, 0.21), (3000, 0.21), (20000, 0.21)):
+        toks = spark.range(n).select(
+            F.lit("s").alias("source"),
+            F.concat(F.lit("tok"), F.col("id")).alias("tok"),
+        )
+        h = toks.select(
+            "source",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        ).select(
+            "source",
+            (F.col("h") % 256).alias("reg"),
+            F.shiftright(F.col("h"), 8).alias("rem"),
+        )
+        rho = h.select(
+            "source",
+            "reg",
+            F.when(F.col("rem") == 0, F.lit(53))
+            .otherwise(53 - F.length(F.expr("bin(rem)")))
+            .alias("rho"),
+        )
+        regs = rho.groupBy("source", "reg").agg(F.max("rho").alias("mrho"))
+        row = regs.groupBy("source").agg(
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - mrho)"))
+                + (F.lit(256) - F.count("*")) * F.lit(1 << 53)
+            ).alias("s_int"),
+            (F.lit(256) - F.count("*")).alias("v_empty"),
+        ).first()
+        est_raw = Q._HLL_ALPHA_NUM / float(row["s_int"])
+        if est_raw <= 640.0 and row["v_empty"] > 0:
+            import math
+
+            est = math.floor(256.0 * math.log(256.0 / row["v_empty"]))
+        else:
+            est = math.floor(est_raw)
+        assert abs(est - n) / n < tol, (n, est)
