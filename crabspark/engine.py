@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from crabspark import frontier as frontier_mod
 from crabspark import udfs, urlkit
 from crabspark.config import Config
-from crabspark.seen import Bloom, filter_unseen
+from crabspark.seen import filter_unseen, load_seen_filter, make_seen_filter
 from crabspark.tables import Catalog
 
 FRONTIER_SCHEMA = (
@@ -169,9 +169,11 @@ class Engine:
         self.fold_skips_total = 0  # observability (tests/metrics)
         bloom_path = self.catalog.extra("bloom")
         if bloom_path and os.path.exists(bloom_path) and not fresh_seen:
-            self.bloom = Bloom.load(bloom_path, cfg.bloom_capacity, cfg.bloom_fpp)
+            # sniffs bloom vs cuckoo from the snapshot itself (resume-proof
+            # against a seen_filter config change)
+            self.bloom = load_seen_filter(bloom_path, cfg)
         else:
-            self.bloom = Bloom(cfg.bloom_capacity, cfg.bloom_fpp)
+            self.bloom = make_seen_filter(cfg)
         if fresh_seen and self.catalog.committed_round >= 0:
             # reference process restart: seen set was in-memory and is lost;
             # visited/is_complete persists and gates re-crawl (Q5).
