@@ -66,9 +66,12 @@ def _hashes(sha1_hex: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     s = np.asarray(sha1_hex, dtype="U40")
     if len(s) == 0:
         return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint16))
-    codes = s.view(np.uint32).reshape(len(s), -1)[:, :30].astype(np.int64)
+    # uint8 branchless decode — same rationale as seen._positions (the
+    # int64 np.where variant was memory-bus-bound)
+    codes = s.view(np.uint32).reshape(len(s), -1)[:, :30].astype(np.uint8)
     codes |= 0x20  # fold 'A'-'F' onto 'a'-'f' (digits keep bit 5)
-    nib = np.where(codes > ord("9"), codes - ord("a") + 10, codes - ord("0"))
+    nib = codes - (codes > ord("9")).astype(np.uint8) * np.uint8(39)
+    nib -= np.uint8(ord("0"))
     nib = nib.astype(np.uint64)
     pw = np.array([16] * 15, dtype=np.uint64) ** np.arange(
         14, -1, -1, dtype=np.uint64
