@@ -8,7 +8,9 @@ and the on-disk size of every catalog table — evidence that
  (b) table growth is O(visited)/O(seen), with the frontier bounded by the
      live horizon (adds-only + amortized fold).
 
-Appends a markdown section to BENCH/BASELINE.md.
+Writes BENCH/growth{pages}_{mode}.json (per-round curve + contention
+telemetry brackets); BASELINE.md's stretch section is curated by hand
+from the quietest leg.
 
 Usage: python bench/growth.py [--pages 2000000] [--cpus 32]
 """
@@ -25,6 +27,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _env_snapshot() -> dict:
+    """Contention telemetry bracket (same rationale as bench.py): a fixed
+    single-thread numpy kernel (machine-speed probe — inflates under ANY
+    slowdown mechanism, including ones PSI/steal can't see), cumulative
+    hypervisor steal from /proc/stat, and loadavg."""
+    import numpy as np
+
+    a = np.ones(50_000_000)
+    a.sum()  # warm faults outside the timing
+    t0 = time.monotonic()
+    for _ in range(3):
+        a.sum()
+    probe_ms = 1000.0 * (time.monotonic() - t0) / 3
+    with open("/proc/stat") as f:
+        steal_s = int(f.readline().split()[8]) / 100.0
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
+    return {"probe_ms": round(probe_ms, 1), "steal_s": round(steal_s, 1),
+            "load1": load1}
 
 
 def _du(path: str) -> int:
@@ -118,6 +141,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="crabspark-growth-")
     rows = []
+    env_pre = _env_snapshot()
     try:
         eng = Engine(
             spark, cfg, work,
@@ -162,34 +186,28 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     ups = round(visited / total_wall, 1)
-    md = [
-        "\n## Stretch scale: "
-        f"{args.pages / 1e6:.0f}M-page crawl, per-round state-size curve\n\n",
-        f"{master}, politeness off, host-bucketed frontier "
-        f"({args.frontier_buckets} buckets), bucket-pruned fetch join. "
-        f"**{visited:,} URLs in {total_wall:.0f}s = {ups} URLs/sec** "
-        f"(incl. {fin_wall:.0f}s completion fixpoint).\n\n",
-        "| round | batch | total_visited | frontier | wall_s | "
-        "visited_ops MB | seen MB | fetched MB | edges MB | frontier MB |\n",
-        "|---|---|---|---|---|---|---|---|---|---|\n",
-    ]
-    for x in rows:
-        md.append(
-            f"| {x['round']} | {x['batch_n']:,} | {x['total_visited']:,} | "
-            f"{x['frontier_size']:,} | {x['wall_s']} | "
-            f"{x['visited_ops_mb']} | {x['seen_mb']} | {x['fetched_mb']} | "
-            f"{x['edges_mb']} | {x['frontier_mb']} |\n"
-        )
-    md.append(
-        "\nRound wall tracks BATCH size (the two ~full-frontier rounds "
-        "dominate); state tables grow linearly in visited/seen rows; the "
-        "frontier's on-disk size is bounded by the live horizon (adds-only "
-        "writes + amortized fold), not by crawl history.\n"
-    )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write("".join(md))
-    print(json.dumps({"visited": visited, "wall_s": round(total_wall, 1),
-                      "urls_per_sec": ups, "rounds": len(rows)}))
+    env_post = _env_snapshot()
+    result = {
+        "visited": visited, "wall_s": round(total_wall, 1),
+        "urls_per_sec": ups, "rounds": len(rows),
+        "finalize_s": round(fin_wall, 1),
+        "exec_mode": args.exec_mode, "master": master,
+        "env_pre": env_pre, "env_post": env_post,
+        "steal_share": round(
+            (env_post["steal_s"] - env_pre["steal_s"])
+            / max(total_wall, 1e-9) / max(os.cpu_count() or 32, 1), 4),
+        "per_round": rows,
+    }
+    # Overwrite a per-config JSON artifact; BASELINE.md is curated by hand
+    # from the quietest leg (the old auto-append duplicated sections and
+    # could enshrine a contended run).
+    out = os.path.join(
+        REPO, "BENCH", f"growth{args.pages}_{args.exec_mode}.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("visited", "wall_s", "urls_per_sec", "rounds",
+                       "env_pre", "env_post", "steal_share")}))
 
 
 if __name__ == "__main__":
