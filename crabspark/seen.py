@@ -70,11 +70,20 @@ def _positions(sha1_hex: np.ndarray, m: int, k: int) -> np.ndarray:
 
 
 def _scatter_bits(bits: np.ndarray, pos: np.ndarray, m: int) -> None:
-    """OR bit positions into the bitmap via a bool scatter + packbits.
-    np.bitwise_or.at is an unbuffered ufunc (~6 us per element — 43 s for
-    a 1M-key x k=7 insert, measured); a plain boolean scatter (duplicates
-    harmless) plus one packbits pass is ~100x faster and this runs inside
-    every crawl round's bloom update."""
+    """OR bit positions into the bitmap, cost O(min(positions, m)).
+
+    Two regimes, measured on 48M-bit bitmaps: np.bitwise_or.at is an
+    unbuffered ufunc whose per-element cost grows superlinearly once the
+    touched bytes spill cache (4 ms at 70k positions, 287 ms at 700k,
+    5.2 s at 7M — the round-4 bloom update was here); a boolean scatter
+    (duplicates harmless) + one packbits pass is a flat O(m) ~40-50 ms
+    regardless of batch. The crossover sits near m/256 positions, so tiny
+    deltas against a huge bitmap — drain rounds, and each small Arrow
+    chunk in the distributed per-partition build — keep the O(positions)
+    path instead of paying a full-bitmap pass per call."""
+    if len(pos) < (m >> 8):
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return
     flags = np.zeros(m, dtype=bool)
     flags[pos] = True
     np.bitwise_or(bits, np.packbits(flags, bitorder="little"), out=bits)
