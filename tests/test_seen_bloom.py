@@ -94,3 +94,18 @@ def test_uppercase_hex_probes_same_bits():
     b = Bloom(1000, 0.01)
     b.add_array(np.array([d.upper() for d in digests]))
     assert b.might_contain(pd.Series(digests)).all()
+
+
+def test_scatter_hybrid_paths_bit_identical():
+    """_scatter_bits routes small batches through O(positions)
+    bitwise_or.at and big ones through the O(m) bool-scatter+packbits
+    pass (crossover ~m/256). The same keys must set the same bits no
+    matter how an insert is chunked across that threshold."""
+    whole = Bloom(capacity=1_600_000, fpp=0.01)
+    chunked = Bloom(capacity=1_600_000, fpp=0.01)
+    keys = sha1s(300_000)  # one insert above the crossover for this m
+    whole.add_array(keys)
+    for chunk in np.array_split(keys, 50):  # each chunk below it
+        chunked.add_array(chunk)
+    assert (whole.bits == chunked.bits).all()
+    assert whole.might_contain(pd.Series(keys[:1000])).all()
