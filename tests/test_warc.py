@@ -1,0 +1,141 @@
+"""WARC source/sink: from-scratch ISO 28500 parsing + pages round-trip.
+
+The reference has no archival-input path (it fetches live, src/http.rs);
+read_warc is the Common-Crawl first hop into the input_hint pages schema.
+Fixtures are handcrafted byte-exact records, NOT produced by write_warc,
+so the reader is checked against the spec rather than against itself;
+the round-trip test then closes the loop in the other direction.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from crabspark.warc import _http_payload, parse_warc, read_warc, write_warc
+from tests.sparkutil import get_spark
+
+
+def _rec(wtype: str, uri: str | None, body: bytes, date="2024-05-01T12:30:00Z"):
+    head = f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+    if uri:
+        head += f"WARC-Target-URI: {uri}\r\n"
+    head += f"WARC-Date: {date}\r\nContent-Length: {len(body)}"
+    return head.encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def _http(html: bytes, ctype=b"text/html; charset=utf-8"):
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        + b"\r\nServer: x\r\n\r\n" + html
+    )
+
+
+HTML_A = b"<html><body><a href='/x'>A link</a> hello</body></html>"
+HTML_B = "<html><body>café — unicode</body></html>".encode()
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+
+ARCHIVE = (
+    _rec("warcinfo", None, b"software: test\r\n")
+    + _rec("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n")
+    + _rec("response", "http://a.example/", _http(HTML_A))
+    + _rec("response", "http://img.example/i.png", _http(PNG, b"image/png"))
+    + _rec("conversion", "http://b.example/bare", HTML_B)
+    + _rec("metadata", "http://a.example/", b"via: seed\r\n")
+)
+
+
+def test_parse_warc_record_framing():
+    recs = list(parse_warc(ARCHIVE))
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "request", "response", "response", "conversion",
+        "metadata",
+    ]
+    resp = recs[2]
+    assert resp["version"] == "WARC/1.0"
+    assert resp["headers"]["warc-target-uri"] == "http://a.example/"
+    ctype, payload = _http_payload(resp["body"])
+    assert ctype == "text/html; charset=utf-8"
+    assert payload == HTML_A
+    # conversion records carry the bare document (no HTTP frame)
+    assert _http_payload(recs[4]["body"]) == (None, HTML_B)
+
+
+def test_parse_warc_gzip_members_and_truncation():
+    # standard .warc.gz layout: one gzip member per record, concatenated
+    gz = b"".join(
+        gzip.compress(r)
+        for r in (
+            _rec("response", "http://a.example/", _http(HTML_A)),
+            _rec("response", "http://b.example/", _http(HTML_B)),
+        )
+    )
+    urls = [r["headers"]["warc-target-uri"] for r in parse_warc(gz)]
+    assert urls == ["http://a.example/", "http://b.example/"]
+    # a truncated tail yields the intact prefix, no exception
+    cut = ARCHIVE[: len(ARCHIVE) - 40]
+    assert len(list(parse_warc(cut))) == len(list(parse_warc(ARCHIVE))) - 1
+    assert list(parse_warc(b"")) == []
+    assert list(parse_warc(b"not a warc\r\n\r\n")) == []
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def test_read_warc_pages_schema(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcs")
+    (d / "a.warc").write_bytes(ARCHIVE)
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(_rec("response", "http://c.example/p", _http(HTML_A)))
+    )
+    df = read_warc(spark, str(d))
+    assert df.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,"
+        "lang:string>"
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    # 2 html responses + 1 conversion; the png and non-payload records drop
+    assert set(rows) == {
+        "http://a.example/", "http://b.example/bare", "http://c.example/p",
+    }
+    a = rows["http://a.example/"]
+    assert bytes(a["html"]) == HTML_A
+    assert a["warc_ts"] == pd.Timestamp("2024-05-01T12:30:00")
+    assert "A link hello" in a["text"]
+    assert rows["http://b.example/bare"]["text"].startswith("café")
+    assert a["lang"] is None
+
+
+def test_warc_roundtrip_byte_identical(spark, tmp_path):
+    # pages -> write_warc -> read_warc: url/ts/html byte-identical, and
+    # text re-extracts identically (same kernel both sides)
+    from datetime import datetime
+
+    src = spark.createDataFrame(
+        [
+            ("http://a.example/", datetime(2024, 5, 1, 12, 30),
+             bytearray(HTML_A)),
+            ("http://b.example/", datetime(2024, 6, 2, 1, 2, 3),
+             bytearray(HTML_B)),
+            ("http://c.example/empty", datetime(2024, 7, 3),
+             bytearray(b"")),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    ).selectExpr("url", "warc_ts", "html", "cast(null as string) text",
+                 "cast(null as string) lang").repartition(2)
+    out = os.path.join(str(tmp_path), "export")
+    n_files = write_warc(src, out)
+    assert 1 <= n_files <= 2
+    assert all(f.endswith(".warc.gz") for f in os.listdir(out))
+    back = read_warc(spark, out)
+    got = {r["url"]: r for r in back.collect()}
+    want = {r["url"]: r for r in src.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert bytes(got[u]["html"]) == bytes(want[u]["html"])
+        assert got[u]["warc_ts"] == want[u]["warc_ts"]
