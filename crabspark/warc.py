@@ -100,6 +100,7 @@ def _records_to_pages(blobs: Iterable[bytes]) -> pd.DataFrame:
     urls: list[str] = []
     stamps: list[str] = []
     htmls: list[bytes] = []
+    plains: list[bool] = []
     for raw in blobs:
         for rec in parse_warc(raw):
             h = rec["headers"]
@@ -112,12 +113,25 @@ def _records_to_pages(blobs: Iterable[bytes]) -> pd.DataFrame:
             if not url:
                 continue
             ctype, payload = _http_payload(rec["body"])
+            if ctype is None:
+                # conversion records carry their type in the WARC header
+                # (WET files: "Content-Type: text/plain", payload is the
+                # ALREADY-extracted text — re-running the html extractor
+                # would re-normalize whitespace it must not touch)
+                ctype = h.get("content-type")
             if ctype is not None and "html" not in ctype and "text" not in ctype:
                 continue  # non-text capture (image/pdf) — not a page row
             urls.append(url)
             stamps.append(h.get("warc-date", ""))
             htmls.append(payload)
+            plains.append(ctype is not None and "text/plain" in ctype)
     html_s = pd.Series(htmls, dtype=object)
+    text_s = extract.extract_text(html_s)
+    if any(plains):
+        mask = pd.Series(plains)
+        text_s = text_s.mask(
+            mask, html_s.map(lambda b: b.decode("utf-8", "replace"))
+        )
     return pd.DataFrame(
         {
             "url": pd.Series(urls, dtype=object),
@@ -125,9 +139,10 @@ def _records_to_pages(blobs: Iterable[bytes]) -> pd.DataFrame:
                 pd.Series(stamps, dtype=object), errors="coerce", utc=True
             ).dt.tz_localize(None),
             "html": html_s,
-            # same vectorized kernel as the fetch path -> byte-identical
-            # text for the same html downstream of either source
-            "text": extract.extract_text(html_s),
+            # html captures: same vectorized kernel as the fetch path ->
+            # byte-identical text downstream of either source. text/plain
+            # (WET) captures: the payload IS the text.
+            "text": text_s,
             "lang": pd.Series([None] * len(urls), dtype=object),
         }
     )
@@ -192,6 +207,52 @@ def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
                 n += 1
         if n:
             name = f"part-{pid:05d}.warc" + (".gz" if gzip_out else "")
+            data = b"".join(chunks)
+            if gzip_out:
+                data = gzip.compress(data)
+            with open(os.path.join(outdir, name), "wb") as f:
+                f.write(data)
+            yield pd.DataFrame({"file": [name], "records": [n]})
+
+    manifest = df.mapInPandas(dump, "file string, records long").collect()
+    return len(manifest)
+
+
+def write_wet(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
+    """pages DataFrame -> WET files (`WARC-Type: conversion`, bare
+    ``text/plain`` payload = the ``text`` column) — the format Common
+    Crawl publishes extracted text in, and the cheapest interchange shape
+    for a text-only LLM-corpus pipeline: read_warc round-trips it with
+    ``text`` byte-identical (no re-extraction pass). Same
+    file-per-partition sink shape as write_warc."""
+    os.makedirs(outdir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks: list[bytes] = []
+        n = 0
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                text = (row.text or "").encode("utf-8")
+                ts = (
+                    pd.Timestamp(row.warc_ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if pd.notna(row.warc_ts)
+                    else "1970-01-01T00:00:00Z"
+                )
+                head = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: conversion\r\n"
+                    f"WARC-Target-URI: {row.url}\r\n"
+                    f"WARC-Date: {ts}\r\n"
+                    "Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(text)}"
+                ).encode()
+                chunks.append(head + _SEP + text + _SEP)
+                n += 1
+        if n:
+            name = f"part-{pid:05d}.warc.wet" + (".gz" if gzip_out else "")
             data = b"".join(chunks)
             if gzip_out:
                 data = gzip.compress(data)

@@ -187,3 +187,31 @@ def test_crawl_over_warc_ingested_pages_matches_oracle(spark, tmp_path):
     }
     assert texts == golden.texts
     assert len(visited) > 10  # non-vacuous crawl
+
+
+def test_wet_roundtrip_text_byte_identical(spark, tmp_path):
+    """WET export/ingest: conversion records with text/plain payloads —
+    the Common-Crawl extracted-text format. The reader must NOT re-run
+    the html extractor over already-extracted text (whitespace would be
+    re-normalized); round-trip text is byte-identical."""
+    from datetime import datetime
+
+    from crabspark.warc import write_wet
+
+    rows = [
+        ("http://a.example/", datetime(2024, 5, 1, 12, 30),
+         "line one\nline  two   spaced\n\ttabbed café — end"),
+        ("http://b.example/", datetime(2024, 6, 2),
+         "plain"),
+    ]
+    src = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    ).selectExpr("url", "warc_ts", "cast(null as binary) html", "text",
+                 "cast(null as string) lang")
+    out = os.path.join(str(tmp_path), "wet")
+    assert write_wet(src, out) >= 1
+    assert all(".warc.wet" in f for f in os.listdir(out))
+    back = {r["url"]: r for r in read_warc(spark, out).collect()}
+    for url, ts, text in rows:
+        assert back[url]["text"] == text           # byte-identical, no
+        assert bytes(back[url]["html"]) == text.encode()  # re-extraction
