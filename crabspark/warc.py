@@ -37,6 +37,28 @@ _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
 
 
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress a concatenated-gzip-member stream, salvaging the intact
+    prefix when a member is corrupt or truncated (gzip.decompress is
+    all-or-nothing: one bad tail member would discard every good record
+    before it — the same never-die rule the record framing follows)."""
+    import zlib
+
+    out: list[bytes] = []
+    pos, n = 0, len(raw)
+    while pos < n and raw[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(raw[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member
+        pos = n - len(d.unused_data)
+    return b"".join(out)
+
+
 def parse_warc(raw: bytes) -> Iterator[dict]:
     """Yield one dict per WARC record: {version, headers (lower-cased
     keys), body (bytes)}. Accepts plain `.warc` and the standard
@@ -46,7 +68,7 @@ def parse_warc(raw: bytes) -> Iterator[dict]:
     truncated archive yields its intact prefix, matching how crawlers
     treat partial WARC segments."""
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
+        raw = _gunzip_members(raw)
     pos, n = 0, len(raw)
     while pos < n:
         while raw.startswith(_CRLF, pos):

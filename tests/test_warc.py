@@ -215,3 +215,27 @@ def test_wet_roundtrip_text_byte_identical(spark, tmp_path):
     for url, ts, text in rows:
         assert back[url]["text"] == text           # byte-identical, no
         assert bytes(back[url]["html"]) == text.encode()  # re-extraction
+
+
+def test_parse_warc_never_raises_on_arbitrary_bytes():
+    """Same never-raise contract as the multimodal codecs: arbitrary or
+    hostile bytes must yield a (possibly empty) record list, not an
+    exception — a 100-TB ingest cannot die on one corrupt archive."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=300, deadline=None)
+    def run(blob):
+        for rec in parse_warc(blob):
+            assert isinstance(rec["headers"], dict)
+        # mutated real archive: flip bytes inside a valid record stream
+        if blob:
+            mutated = bytearray(ARCHIVE)
+            for i, b in enumerate(blob[:64]):
+                mutated[(b * 31 + i) % len(mutated)] ^= b or 1
+            list(parse_warc(bytes(mutated)))
+
+    run()
+
+    # gzip magic with a corrupt stream must also not raise
+    assert list(parse_warc(b"\x1f\x8b" + b"\x00" * 30)) == []
