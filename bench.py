@@ -305,9 +305,19 @@ def main() -> None:
         for _ in range(3):
             urls_per_sec = max(urls_per_sec, _one_leg())
         best = crawl_runs.index(min(crawl_runs))
+        # Probe inflation is the third trigger: a colocated VM stealing
+        # memory bandwidth inflates the fixed kernel while PSI and steal
+        # both read quiet (measured: back-to-back identical legs 29.4s vs
+        # 56.8s at <2 load, steal ~1%). Quiet-box probe is ~105-145 ms.
+        probes = [
+            crawl_env[best].get(k)
+            for k in ("probe_ms_before", "probe_ms_after")
+        ]
+        probes = [p for p in probes if p is not None]
         if (
             crawl_env[best].get("stall_share", 0.0) > 0.05
             or crawl_env[best].get("steal_share", 0.0) > 0.05
+            or (probes and min(probes) > 200.0)
         ):
             urls_per_sec = max(urls_per_sec, _one_leg())
         qtimes["crawl_round_loop"] = min(crawl_runs)
