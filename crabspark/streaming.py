@@ -59,14 +59,59 @@ def start_page_ingest(
     """Tail pages_dir for new parquet files; per micro-batch, append
     canonicalized candidate rows to the catalog. Returns the
     StreamingQuery (caller: q.processAllAvailable() / q.stop())."""
-    ship_package(spark)
-    canon = _canon_udf()
-
     stream = (
         spark.readStream.schema(pages_schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(pages_dir)
     )
+    return _start_candidate_ingest(spark, stream, catalog, checkpoint_dir)
+
+
+def start_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    catalog: Catalog,  # dedicated candidates catalog (see start_page_ingest)
+    checkpoint_dir: str,
+):
+    """Tail warc_dir for new `.warc[.gz]` / WET archives (the shape a
+    live Common-Crawl-style feed lands in); parse records executor-side
+    and run the SAME idempotent candidate sink as the parquet ingest —
+    one archive per binaryFile task, so a landing dir of 1 GB archives
+    streams at file granularity."""
+    from crabspark.warc import PAGES_SCHEMA, _records_to_pages
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed but streaming sources require it
+        # stated explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", 8)
+        .load(warc_dir)
+        .select("content")
+    )
+
+    def parse(it):
+        for pdf in it:
+            yield _records_to_pages(pdf["content"])
+
+    return _start_candidate_ingest(
+        spark, stream.mapInPandas(parse, PAGES_SCHEMA), catalog,
+        checkpoint_dir,
+    )
+
+
+def _start_candidate_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    catalog: Catalog,
+    checkpoint_dir: str,
+):
+    ship_package(spark)
+    canon = _canon_udf()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Abort-at-entry: if a previous invocation of ANY gate sharing this

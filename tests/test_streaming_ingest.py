@@ -436,3 +436,39 @@ def test_quality_gate_filters_at_ingest(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in cat.read("clean_docs").collect()
     ) == [1, 4]
+
+
+def test_warc_streaming_ingest_matches_parquet_ingest(spark, tmp_path):
+    """Archives landing in a dir stream through the SAME idempotent
+    candidate sink as parquet pages: identical canon/sha1 rows out."""
+    from crabspark.streaming import start_warc_ingest
+    from crabspark.warc import write_warc
+
+    data = gen_pages.generate(n_pages=25, seed=42)
+    pq_dir = str(tmp_path / "pq")
+    os.makedirs(pq_dir)
+    data["pages"].to_parquet(
+        f"{pq_dir}/part-0.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    warc_dir = str(tmp_path / "warcs")
+    write_warc(spark.read.parquet(pq_dir).repartition(2), warc_dir)
+
+    cat_pq = Catalog(str(tmp_path / "cat_pq"), spark)
+    start_page_ingest(
+        spark, pq_dir, cat_pq, str(tmp_path / "ck1")
+    ).awaitTermination(120)
+    cat_wc = Catalog(str(tmp_path / "cat_wc"), spark)
+    start_warc_ingest(
+        spark, warc_dir, cat_wc, str(tmp_path / "ck2")
+    ).awaitTermination(120)
+
+    def rows(cat):
+        return {
+            (r["url"], r["canon"], r["sha1"], r["host"])
+            for r in cat.read("candidates").collect()
+        }
+
+    got, want = rows(cat_wc), rows(cat_pq)
+    assert got == want
+    assert len(got) == len(data["pages"])
