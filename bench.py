@@ -25,24 +25,11 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from crabspark import queries as Q  # noqa: E402
 
-BENCH_QUERIES = [
-    "canonicalize", "host_counts", "seen_antijoin", "perhost_rank",
-    "visited_upsert", "completion_agg", "first_observer", "robots_join",
-    "dedup_exact", "ngram_jaccard", "ngram_jaccard_blocked_baseline",
-    "minhash_signature", "minhash_lsh_pairs",
-    "dedup_clusters", "simhash", "simhash_neardup_pairs",
-    "text_quality", "lang_id", "doc_fingerprint",
-    "ann_cosine_topk", "ann_grid_buckets", "ann_lsh_topk",
-    "embedding_neardup", "embedding_dedup", "ann_ivf_kmeans",
-    "sessionize", "token_histogram", "bpe_token_stats",
-    "quality_filter", "repetition_stats", "source_rollup",
-    "token_percentiles",
-    "decontaminate", "boilerplate_ngrams", "pii_scrub", "corpus_dedup",
-    "pack_sequences", "mixture_sample", "line_dedup",
-    "link_degrees", "pagerank", "anchor_texts", "latest_capture",
-    "host_graph", "hits", "capture_churn", "distinct_sketch",
-    "heavy_hitters",
-]
+# Derived from the query registry so it can NEVER drift: every registered
+# operator is benched, and a late-landing operator is automatically in the
+# graded BENCH/CORRECTNESS artifacts (the r5 heavy_hitters snapshot gap).
+# tests/test_registry_parity.py asserts this three-way name-set equality.
+BENCH_QUERIES = list(Q.REGISTRY)
 
 
 def get_spark(cpus: int) -> SparkSession:
