@@ -2693,6 +2693,101 @@ FROM a2 JOIN h2 ON a2.node = h2.node
 """
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX index build — the standard Common-Crawl companion artifact
+    (one row per capture: SURT urlkey, 14-digit timestamp, original URL,
+    archive file, byte offset, compressed length) enabling record-level
+    random access into the WARC archives (crabspark.warc.fetch_record is
+    the consumer; crabspark.warc.write_warc emits the same index as
+    sidecars at export time). Captures synthesize from orders the same
+    way latest_capture's do; per-record compressed lengths are a
+    deterministic key fold; archive assignment folds the capture id over
+    16 part files.
+
+    The two real computations, both JVM-native:
+    - SURT urlkey from the raw URL (lowercase host, strip www., reverse
+      the dot-labels comma-joined, append ')' + path) — the key that
+      makes the index range-scannable by domain;
+    - per-archive byte offsets as a running sum of record lengths in
+      record order — one window over the archive-file key.
+
+    Scale shape: one window shuffle keyed on the archive file (bounded:
+    records-per-archive, ~50k for a 1 GB WARC) + one final
+    range-partitioned sort by (urlkey, cdx_ts) — the sort order CDX
+    files are published in. Nothing quadratic, nothing driver-side."""
+    o = _t(spark, sf_dir, "orders")
+    cap = o.select(
+        F.col("o_orderkey").alias("capture_id"),
+        F.col("o_orderdate").alias("warc_ts"),
+        (200 + F.col("o_orderkey") % 1800).cast("long").alias("length"),
+        F.concat(
+            F.lit("part-"),
+            F.lpad((F.col("o_orderkey") % 16).cast("string"), 5, "0"),
+            F.lit(".warc.gz"),
+        ).alias("file"),
+        F.concat(
+            F.lit("https://www.host"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".com/page/"),
+            F.col("o_custkey").cast("string"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("?utm=1")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace("url", r"^https?://[^/]+", "")
+    w = (
+        Window.partitionBy("file")
+        .orderBy("capture_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cap.select(
+            F.concat(
+                F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                F.lit(")"),
+                path,
+            ).alias("urlkey"),
+            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("cdx_ts"),
+            "url",
+            "file",
+            F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+            "length",
+        )
+        .orderBy("urlkey", "cdx_ts", "offset")
+    )
+
+
+SQL_CDX_INDEX = """
+WITH cap AS (
+  SELECT o_orderkey AS capture_id, o_orderdate AS warc_ts,
+         CAST(200 + o_orderkey % 1800 AS BIGINT) AS length,
+         'part-' || lpad(CAST(o_orderkey % 16 AS VARCHAR), 5, '0')
+           || '.warc.gz' AS file,
+         'https://www.host' || CAST(o_custkey % 20 AS VARCHAR) || '.com/page/'
+           || CAST(o_custkey AS VARCHAR)
+           || CASE WHEN o_orderkey % 3 = 0 THEN '?utm=1' ELSE '' END AS url
+  FROM orders),
+keyed AS (
+  SELECT capture_id, warc_ts, length, file, url,
+         array_to_string(
+           list_reverse(string_split(
+             regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                            '^www\\.', ''), '.')), ',')
+           || ')' || regexp_replace(url, '^https?://[^/]+', '') AS urlkey
+  FROM cap)
+SELECT urlkey, strftime(warc_ts, '%Y%m%d%H%M%S') AS cdx_ts, url, file,
+       CAST(coalesce(sum(length) OVER (PARTITION BY file ORDER BY capture_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS "offset",
+       length
+FROM keyed
+ORDER BY urlkey, cdx_ts, "offset"
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2754,6 +2849,7 @@ REGISTRY: dict[str, tuple] = {
     "capture_churn": (q_capture_churn, SQL_CAPTURE_CHURN),
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
 }
 
 

@@ -27,7 +27,7 @@ import os
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -97,23 +97,86 @@ def parse_warc(raw: bytes) -> Iterator[dict]:
         pos = end + 4 + clen
 
 
+def _dechunk(data: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP entity (hex size line CRLF
+    chunk CRLF ... 0 CRLF). Malformed/truncated input yields the intact
+    prefix — same never-raise salvage rule as the gzip member walker."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        nl = data.find(_CRLF, pos)
+        if nl < 0:
+            break
+        try:
+            size = int(data[pos:nl].split(b";", 1)[0].strip() or b"x", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = nl + 2
+        chunk = data[start:start + size]
+        out.append(chunk)
+        if len(chunk) < size:
+            break  # truncated mid-chunk
+        pos = start + size + 2  # skip the CRLF that closes the chunk
+    return b"".join(out)
+
+
+def _content_decode(data: bytes, encoding: str) -> bytes:
+    """Undo Content-Encoding: gzip / x-gzip / deflate with truncation
+    salvage; unknown codings (br, zstd — no codec in env) return b"" so
+    compressed bytes never flow into the text extractor as 'html'."""
+    import zlib
+
+    enc = encoding.lower()
+    if "gzip" in enc or "deflate" in enc:
+        # wbits=47 auto-detects gzip and zlib wrappers; raw-deflate
+        # (servers that send deflate without the zlib header) needs -15.
+        for wbits in (47, -15):
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out = d.decompress(data) + d.flush()
+            except zlib.error:
+                continue
+            if out:
+                return out
+        return b""
+    if "identity" in enc or not enc.strip():
+        return data
+    return b""  # br/zstd/unknown: no codec available — drop, don't garble
+
+
 def _http_payload(body: bytes) -> tuple[str | None, bytes]:
     """Split a WARC response record's HTTP message into (content_type,
-    entity bytes). WARC stores the raw HTTP response; the html the engine
-    wants starts after the header block. A body with no HTTP frame (e.g.
-    `WARC-Type: conversion` records carry the bare document) is returned
-    whole."""
+    entity bytes), undoing Transfer-Encoding: chunked and
+    Content-Encoding: gzip/deflate — archives written by wget/Heritrix
+    store the raw wire bytes, so without this, chunk-size framing or
+    compressed bytes would flow into html/text silently (round-5 advisor
+    finding). A body with no HTTP frame (e.g. `WARC-Type: conversion`
+    records carry the bare document) is returned whole."""
     if not body.startswith(b"HTTP/"):
         return None, body
     sep = body.find(_SEP)
     if sep < 0:
         return None, body
     ctype = None
+    transfer_enc = ""
+    content_enc = ""
     for ln in body[:sep].decode("latin-1", "replace").split("\r\n")[1:]:
         k, _, v = ln.partition(":")
-        if k.strip().lower() == "content-type":
+        k = k.strip().lower()
+        if k == "content-type":
             ctype = v.strip()
-    return ctype, body[sep + 4:]
+        elif k == "transfer-encoding":
+            transfer_enc = v.strip().lower()
+        elif k == "content-encoding":
+            content_enc = v.strip().lower()
+    entity = body[sep + 4:]
+    if "chunked" in transfer_enc:
+        entity = _dechunk(entity)
+    if content_enc:
+        entity = _content_decode(entity, content_enc)
+    return ctype, entity
 
 
 def _records_to_pages(blobs: Iterable[bytes]) -> pd.DataFrame:
@@ -181,6 +244,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
+        # the glob also matches CDX sidecars (part-N.warc.gz.cdx) the
+        # write side emits — drop them at the listing, not executor-side
+        .filter(~F.col("path").endswith(".cdx"))
         .select("content")
     )
 
@@ -191,10 +257,66 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(parse, PAGES_SCHEMA)
 
 
+def surt_key(url: str) -> str:
+    """Canonical CDX sort key (the public SURT form): lowercase the host,
+    drop a leading ``www.``, reverse the host labels comma-joined, append
+    ``)`` + path?query — e.g. ``https://www.Example.com/a?b=1`` ->
+    ``com,example)/a?b=1``. Sorting by this key clusters every capture of
+    a host (and its subdomains as a prefix range), which is what makes a
+    CDX index range-scannable by domain."""
+    u = url.strip()
+    for pfx in ("https://", "http://"):
+        if u.lower().startswith(pfx):
+            u = u[len(pfx):]
+            break
+    host, sep, rest = u.partition("/")
+    host = host.lower().split("@")[-1].split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
+
+
+def _cdx_ts(ts) -> str:
+    """CDX 14-digit timestamp (yyyymmddhhmmss)."""
+    if pd.isna(ts):
+        return "19700101000000"
+    return pd.Timestamp(ts).strftime("%Y%m%d%H%M%S")
+
+
+def _write_archive_with_cdx(
+    outdir: str, name: str, records: list[tuple[str, str, bytes]],
+    gzip_out: bool,
+) -> None:
+    """Write one archive file from (url, cdx_ts, record_bytes) triples —
+    one gzip member PER RECORD when compressing (the Common Crawl
+    `.warc.gz` layout: readers can seek to a member and inflate one
+    record without touching the rest, and a truncated tail costs only the
+    records past the cut, not the file) — plus the standard CDX sidecar
+    (`<name>.cdx`, one line per record: urlkey, 14-digit timestamp,
+    original url, archive filename, compressed offset, compressed
+    length). read_cdx() turns the sidecars into a table; fetch_record()
+    uses (file, offset, length) for record-level random access."""
+    blobs: list[bytes] = []
+    cdx_lines: list[str] = ["CDX N b a g V S"]
+    offset = 0
+    for url, cts, rec in records:
+        blob = gzip.compress(rec) if gzip_out else rec
+        cdx_lines.append(
+            f"{surt_key(url)} {cts} {url} {name} {offset} {len(blob)}"
+        )
+        offset += len(blob)
+        blobs.append(blob)
+    with open(os.path.join(outdir, name), "wb") as f:
+        f.write(b"".join(blobs))
+    with open(os.path.join(outdir, name + ".cdx"), "w") as f:
+        f.write("\n".join(cdx_lines) + "\n")
+
+
 def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
     """pages DataFrame -> `part-{pid:05d}.warc[.gz]` per non-empty
     partition (WARC-Type: response with a minimal HTTP/1.1 frame, so any
-    conforming reader — including read_warc — round-trips it). Executor
+    conforming reader — including read_warc — round-trips it), gzipped
+    one member per record, with a CDX sidecar per archive. Executor
     tasks write their own file, the same per-partition-file shape as a
     parquet sink; returns the number of files written."""
     os.makedirs(outdir, exist_ok=True)
@@ -203,8 +325,7 @@ def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        chunks: list[bytes] = []
-        n = 0
+        recs: list[tuple[str, str, bytes]] = []
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 html = bytes(row.html) if row.html is not None else b""
@@ -225,16 +346,13 @@ def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
                     f"Content-Length: {len(http)}\r\n"
                     "Content-Type: application/http;msgtype=response"
                 ).encode()
-                chunks.append(head + _SEP + http + _SEP)
-                n += 1
-        if n:
+                recs.append(
+                    (row.url, _cdx_ts(row.warc_ts), head + _SEP + http + _SEP)
+                )
+        if recs:
             name = f"part-{pid:05d}.warc" + (".gz" if gzip_out else "")
-            data = b"".join(chunks)
-            if gzip_out:
-                data = gzip.compress(data)
-            with open(os.path.join(outdir, name), "wb") as f:
-                f.write(data)
-            yield pd.DataFrame({"file": [name], "records": [n]})
+            _write_archive_with_cdx(outdir, name, recs, gzip_out)
+            yield pd.DataFrame({"file": [name], "records": [len(recs)]})
 
     manifest = df.mapInPandas(dump, "file string, records long").collect()
     return len(manifest)
@@ -253,8 +371,7 @@ def write_wet(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        chunks: list[bytes] = []
-        n = 0
+        recs: list[tuple[str, str, bytes]] = []
         for pdf in it:
             for row in pdf.itertuples(index=False):
                 text = (row.text or "").encode("utf-8")
@@ -271,16 +388,62 @@ def write_wet(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
                     "Content-Type: text/plain\r\n"
                     f"Content-Length: {len(text)}"
                 ).encode()
-                chunks.append(head + _SEP + text + _SEP)
-                n += 1
-        if n:
+                recs.append(
+                    (row.url, _cdx_ts(row.warc_ts), head + _SEP + text + _SEP)
+                )
+        if recs:
             name = f"part-{pid:05d}.warc.wet" + (".gz" if gzip_out else "")
-            data = b"".join(chunks)
-            if gzip_out:
-                data = gzip.compress(data)
-            with open(os.path.join(outdir, name), "wb") as f:
-                f.write(data)
-            yield pd.DataFrame({"file": [name], "records": [n]})
+            _write_archive_with_cdx(outdir, name, recs, gzip_out)
+            yield pd.DataFrame({"file": [name], "records": [len(recs)]})
 
     manifest = df.mapInPandas(dump, "file string, records long").collect()
     return len(manifest)
+
+
+CDX_SCHEMA = (
+    "urlkey string, cdx_ts string, url string, file string, "
+    "offset long, length long"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """CDX sidecar files -> index DataFrame (urlkey, cdx_ts, url, file,
+    offset, length), the Common-Crawl companion artifact enabling random
+    access into the archives. One text-file split per sidecar; at a real
+    snapshot's scale (~300 GB of CDX for 100 TB of WARC) this is an
+    ordinary distributed text scan, and sorting by (urlkey, cdx_ts) —
+    what q_cdx_index does — is one range-partitioned sort."""
+    lines = spark.read.text(path if "*" in path else path + "/*.cdx")
+    parts = F.split(F.col("value"), " ")
+    return (
+        lines.filter(~F.col("value").startswith("CDX "))
+        .filter(F.size(parts) == 6)
+        .select(
+            parts[0].alias("urlkey"),
+            parts[1].alias("cdx_ts"),
+            parts[2].alias("url"),
+            parts[3].alias("file"),
+            parts[4].cast("long").alias("offset"),
+            parts[5].cast("long").alias("length"),
+        )
+    )
+
+
+def fetch_record(archive_dir: str, file: str, offset: int, length: int) -> dict:
+    """Record-level random access: read exactly [offset, offset+length)
+    of one archive and decode the single record there — the operation a
+    CDX index exists to enable (a 100 TB corpus serves one URL capture
+    with one ranged read of a few KB, no scan). Works on per-record-gzip
+    `.warc.gz` members and uncompressed archives alike."""
+    with open(os.path.join(archive_dir, file), "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    recs = list(parse_warc(blob))
+    if len(recs) != 1:
+        raise ValueError(
+            f"expected exactly 1 record at {file}@{offset}+{length}, "
+            f"got {len(recs)}"
+        )
+    return recs[0]

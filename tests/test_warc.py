@@ -131,7 +131,9 @@ def test_warc_roundtrip_byte_identical(spark, tmp_path):
     out = os.path.join(str(tmp_path), "export")
     n_files = write_warc(src, out)
     assert 1 <= n_files <= 2
-    assert all(f.endswith(".warc.gz") for f in os.listdir(out))
+    assert all(
+        f.endswith((".warc.gz", ".cdx")) for f in os.listdir(out)
+    )  # archives + their CDX sidecars, nothing else
     back = read_warc(spark, out)
     got = {r["url"]: r for r in back.collect()}
     want = {r["url"]: r for r in src.collect()}
@@ -239,3 +241,126 @@ def test_parse_warc_never_raises_on_arbitrary_bytes():
 
     # gzip magic with a corrupt stream must also not raise
     assert list(parse_warc(b"\x1f\x8b" + b"\x00" * 30)) == []
+
+
+def test_http_payload_chunked_transfer_encoding():
+    """wget/Heritrix archives store raw wire bytes: chunk-size framing
+    must be stripped, not flow into html (round-5 advisor finding)."""
+    from crabspark.warc import _dechunk
+
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\n<html\r\n9\r\n>hi</html\r\n1\r\n>\r\n0\r\n\r\n"
+    )
+    ctype, entity = _http_payload(body)
+    assert ctype == "text/html"
+    assert entity == b"<html>hi</html>"
+    # truncated mid-chunk: salvage the intact prefix, never raise
+    assert _dechunk(b"5\r\n<ht") == b"<ht"
+    assert _dechunk(b"zz\r\nx") == b""
+
+
+def test_http_payload_content_encoding_gzip_and_deflate():
+    import zlib
+
+    html = b"<html><body>compressed page</body></html>"
+    for enc, blob in [
+        (b"gzip", gzip.compress(html)),
+        (b"deflate", zlib.compress(html)),
+        (b"deflate", (lambda co: co.compress(html) + co.flush())(
+            zlib.compressobj(wbits=-15))),
+    ]:
+        body = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: " + enc + b"\r\n\r\n" + blob
+        )
+        ctype, entity = _http_payload(body)
+        assert entity == html, enc
+    # chunked OUTER, gzip inner (the RFC ordering): both undone
+    gz = gzip.compress(html)
+    chunked = (
+        hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    body = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + chunked
+    )
+    assert _http_payload(body)[1] == html
+    # unknown coding (br): must yield b"", not compressed garbage
+    body = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n\x00garbage"
+    assert _http_payload(body)[1] == b""
+
+
+def test_write_warc_per_record_gzip_members(spark, tmp_path):
+    """The .warc.gz layout is one gzip member per record: external
+    tooling seeks to a member and inflates one record, and a truncated
+    tail costs only the records past the cut (round-5 advisor finding)."""
+    import zlib
+
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://h{i}.example/p" for i in range(6)],
+            "warc_ts": pd.to_datetime(["2024-05-01T12:00:00"] * 6),
+            "html": [f"<html>{i}</html>".encode() for i in range(6)],
+            "text": ["x"] * 6,
+            "lang": [None] * 6,
+        }
+    )
+    out = str(tmp_path / "warcs")
+    write_warc(spark.createDataFrame(pdf).coalesce(1), out)
+    files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
+    assert len(files) == 1
+    raw = open(os.path.join(out, files[0]), "rb").read()
+    # count gzip members (and record each member's start) via unused_data
+    starts, rest = [], raw
+    while rest[:2] == b"\x1f\x8b":
+        starts.append(len(raw) - len(rest))
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(rest)
+        rest = d.unused_data
+    assert len(starts) == 6
+    # truncating INSIDE the final member's deflate data salvages the
+    # first 5 records — the all-or-nothing failure mode of a
+    # single-member file this layout exists to avoid
+    assert len(list(parse_warc(raw[: starts[-1] + 12]))) == 5
+
+
+def test_cdx_index_roundtrip_fetch_by_offset(spark, tmp_path):
+    """read_warc + CDX -> fetch ONE record by (file, offset, length)
+    without scanning the archive — the random access a CDX exists for."""
+    from crabspark.warc import fetch_record, read_cdx, surt_key
+
+    urls = [f"http://www.h{i}.example/p/{i}?q=1" for i in range(8)]
+    pdf = pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime(["2024-05-01T12:00:%02d" % i for i in range(8)]),
+            "html": [f"<html>page {i}</html>".encode() for i in range(8)],
+            "text": ["x"] * 8,
+            "lang": [None] * 8,
+        }
+    )
+    out = str(tmp_path / "warcs")
+    write_warc(spark.createDataFrame(pdf).repartition(2), out)
+    idx = read_cdx(spark, out).collect()
+    assert len(idx) == 8
+    assert {r.url for r in idx} == set(urls)
+    for r in idx:
+        assert r.urlkey == surt_key(r.url)
+        assert r.cdx_ts == "202405011200" + r.url.rsplit("/", 1)[0][-1] * 0 + (
+            "%02d" % int(r.url.split("/p/")[1].split("?")[0])
+        )
+        rec = fetch_record(out, r.file, r.offset, r.length)
+        assert rec["headers"]["warc-target-uri"] == r.url
+        body = rec["body"]
+        i = r.url.split("/p/")[1].split("?")[0]
+        assert f"<html>page {i}</html>".encode() in body
+
+
+def test_surt_key():
+    from crabspark.warc import surt_key
+
+    assert surt_key("https://www.Example.com/a/b?c=1") == "com,example)/a/b?c=1"
+    assert surt_key("http://sub.host.org:8080/") == "org,host,sub)/"
+    assert surt_key("http://host.net") == "net,host)/"
