@@ -97,11 +97,20 @@ class CuckooFilter:
             else np.zeros((self.nb, _SLOTS), dtype=np.uint16)
         )
         self.saturated = False
+        # insert/delete bookkeeping for the delete-safety guard: a delete
+        # that misses, or more deletes than inserts, means the caller is
+        # deleting keys that were never inserted — which silently evicts
+        # colliding LIVE keys (false negatives). Flip `saturated` instead:
+        # the filter degrades to answer-True-for-everything and the exact
+        # anti-join failsafe downstream stays correct (round-5 advisor).
+        self.n_inserted = 0
+        self.n_deleted = 0
 
     # --- vectorized batch insert -----------------------------------------
     def add_array(self, sha1_hex: np.ndarray) -> None:
         if len(sha1_hex) == 0 or self.saturated:
             return
+        self.n_inserted += len(sha1_hex)
         h1, fp = _hashes(np.asarray(sha1_hex))
         i1 = (h1 % np.uint64(self.nb)).astype(np.int64)
         rem = self._insert_at(i1, fp)
@@ -194,13 +203,24 @@ class CuckooFilter:
                     self.table[idx, slots[0]] = 0
                     removed += 1
                     break
+        self.n_deleted += removed
+        if removed < len(sha1_hex) or self.n_deleted > self.n_inserted:
+            self.saturated = True
         return removed
 
     # --- merge / distributed construction ----------------------------------
-    def merge_table(self, other_table: np.ndarray, other_saturated: bool = False) -> None:
+    def merge_table(
+        self,
+        other_table: np.ndarray,
+        other_saturated: bool = False,
+        other_inserted: int = 0,
+    ) -> None:
         """Fold another filter OF THE SAME GEOMETRY in by re-inserting its
         occupied slots — (bucket, fp) is enough under partial-key
-        cuckooing. Saturation is sticky across merges."""
+        cuckooing. Saturation is sticky across merges; insert counts
+        accumulate so the delete-safety guard stays meaningful after a
+        distributed build."""
+        self.n_inserted += other_inserted
         if other_saturated:
             self.saturated = True
             return
@@ -242,12 +262,16 @@ class CuckooFilter:
                     {
                         "table": [part.table.tobytes()],
                         "saturated": [bool(part.saturated)],
+                        "n_inserted": [part.n_inserted],
                     }
                 )
 
         rows = (
             df.select(sha1_col)
-            .mapInPandas(build, schema="table binary, saturated boolean")
+            .mapInPandas(
+                build,
+                schema="table binary, saturated boolean, n_inserted long",
+            )
             .collect()
         )
         for r in rows:
@@ -256,6 +280,7 @@ class CuckooFilter:
                     nb, _SLOTS
                 ),
                 bool(r["saturated"]),
+                int(r["n_inserted"]),
             )
 
     # --- persistence --------------------------------------------------------
@@ -267,6 +292,8 @@ class CuckooFilter:
             table=self.table,
             nb=np.int64(self.nb),
             saturated=np.int64(1 if self.saturated else 0),
+            n_inserted=np.int64(self.n_inserted),
+            n_deleted=np.int64(self.n_deleted),
         )
         os.replace(tmp + ".npz", path)
 
@@ -278,7 +305,11 @@ class CuckooFilter:
             table = z["table"]
             nb = int(z["nb"])
             saturated = bool(int(z["saturated"]))
+            n_ins = int(z["n_inserted"]) if "n_inserted" in z else 0
+            n_del = int(z["n_deleted"]) if "n_deleted" in z else 0
         f = cls(capacity, table=table)
         f.nb = nb
         f.saturated = saturated
+        f.n_inserted = n_ins
+        f.n_deleted = n_del
         return f

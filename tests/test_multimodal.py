@@ -537,3 +537,79 @@ def test_mp4_metadata_never_raises_on_garbage():
             M.mp4_metadata(prefix + b)
 
     fuzz()
+
+
+def test_png_wavefront_unfilter_parity_large_random_filters():
+    """The vectorized anti-diagonal wavefront unfilter must be
+    bit-identical to the reference per-byte semantics on larger images
+    with adversarial per-row filter mixes, for both RGB and RGBA — plus
+    the uniform-filter closed forms (none/sub/up) and uniform avg/paeth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build_png(px, ftypes, ch):
+        h, w, _ = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride)
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            raw.append(ftypes[y])
+            raw.extend(
+                _ref_filter_row(flat[y], prev, ftypes[y], ch).tobytes()
+            )
+            prev = flat[y]
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(
+                    ">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0
+                ),
+            )
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(17)
+    for ch in (3, 4):
+        h, w = 48, 37
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        cases = [
+            rng.integers(0, 5, h).tolist(),      # random mix
+            [0] * h, [1] * h, [2] * h,           # closed-form paths
+            [3] * h, [4] * h,                    # uniform wavefront paths
+            [4] * (h // 2) + [1] * (h - h // 2), # run transition
+        ]
+        for ftypes in cases:
+            back = M.decode_png(build_png(px, ftypes, ch))
+            assert back is not None
+            assert (back == px).all(), (ch, ftypes[:6])
+
+
+def test_png_unfilter_512_is_fast():
+    """Regression tripwire for the round-5 directive (>=10x on 512x512:
+    measured paeth 16x / average 30x / mixed 11x vs the per-byte loop,
+    ~0.52s -> 17-50ms). Generous absolute bound so CI noise can't flake
+    it while a reversion to per-byte Python (~0.5s) still trips."""
+    import time
+
+    import numpy as np
+
+    h = w = 512
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 256, (h, w * 3), dtype=np.uint8)
+    for fts in ([4] * h, [3] * h, rng.integers(0, 5, h).tolist()):
+        t0 = time.perf_counter()
+        out = M._png_unfilter(rows, np.asarray(fts), w, 3)
+        assert out.shape == (h, w * 3)
+        assert time.perf_counter() - t0 < 0.3
