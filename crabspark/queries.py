@@ -2858,6 +2858,139 @@ ORDER BY urlkey, cdx_ts, "offset"
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-source characteristic vocabulary: top-5 terms per source by
+    corpus TF-IDF — the standard first look at what a web source
+    actually contains (and the feature a source-level quality/topic
+    classifier trains on). tf = total occurrences in the source's docs;
+    df = number of DOCS containing the term; idf = ln((N+1)/(df+1))
+    (smoothed); report round(tf*idf, 4).
+
+    Ranking is by the INTEGER key (tf desc, df asc, term asc), which is
+    deterministic and engine-exact; the float score is reported but
+    never ordered on (two engines' ln() can differ in the last ulp, and
+    a rank must not hinge on that). Terms shorter than 3 chars are
+    dropped (articles/punctuation shards).
+
+    Scale shape: one explode -> two hash aggregations (per-(source,term)
+    tf + per-term df), both map-side combinable, then a top-k window
+    over the per-source key — the same per-key exact top-k shape as
+    heavy_hitters; at 100 TB the (source, term) key space is bounded by
+    vocabulary x sources, orders of magnitude below corpus size."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    n_docs = d.select("doc_id")  # N via window-free scalar: count below
+    terms = d.select(
+        "doc_id", "source", F.explode("toks").alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n = n_docs.count()  # tiny driver scalar; constant-folds into the plan
+    w = Window.partitionBy("source").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(float(n + 1))) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (SELECT doc_id, source, {_TOK_DUCK} AS toks FROM documents),
+terms AS (
+  SELECT doc_id, source, unnest(toks) AS term FROM t),
+filt AS (SELECT * FROM terms WHERE length(term) >= 3),
+tf AS (SELECT source, term, count(*) AS tf FROM filt GROUP BY source, term),
+df AS (SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM filt) GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+ranked AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.source
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+           AS rank
+  FROM tf JOIN df USING (term))
+SELECT source, CAST(rank AS INT) AS rank, term, tf, df,
+       round(tf * ln((1.0 + (SELECT n FROM n)) / (df + 1.0)), 4) AS tfidf
+FROM ranked WHERE rank <= 5
+"""
+
+
+_SHARD_N = 32
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Training-export shard manifest: assign every doc to one of 32
+    shards by content-independent hash (first 15 hex digits of
+    md5(doc_id) as a 60-bit int, mod 32 — the same reproducible-recipe
+    construction mixture_sample uses), and emit the per-shard manifest a
+    dataloader needs: doc count, token count, byte count, and an EXACT
+    integer checksum (sum of the 60-bit doc hashes) that lets a consumer
+    verify a shard's membership without re-listing it. Hash sharding is
+    the standard export step before sequence packing: shards are
+    size-balanced in expectation and stable under corpus append.
+
+    Scale shape: one map-side-combinable hash aggregation over the
+    corpus, 32 output rows; nothing shuffles but the 32-key partial
+    aggregates. The checksum must survive BOTH engines' sum semantics
+    (Spark sums long with 64-bit wrap; DuckDB promotes to 128-bit), so
+    each term is first reduced mod the Mersenne prime 2^31-1: the
+    intermediate sum then stays exact in a 64-bit long for up to 2^32
+    docs per shard (far above any real shard) and the final mod is
+    engine-identical — the same exact-integer-arithmetic rule the HLL
+    register sum follows."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_bytes"),
+        F.size(F.expr(_TOK_SPARK)).alias("n_tokens"),
+        h.alias("h"),
+    )
+    return (
+        d.groupBy((F.col("h") % _SHARD_N).cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+            (F.sum(F.col("h") % F.lit((1 << 31) - 1))
+             % F.lit((1 << 31) - 1)).alias("member_sum"),
+        )
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS n_bytes, len({_TOK_DUCK}) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents)
+SELECT CAST(h % {_SHARD_N} AS INT) AS shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(sum(h % {(1 << 31) - 1}) % {(1 << 31) - 1} AS BIGINT)
+         AS member_sum
+FROM d GROUP BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2924,6 +3057,8 @@ REGISTRY: dict[str, tuple] = {
     "distinct_sketch": (q_distinct_sketch, SQL_DISTINCT_SKETCH),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
 }
 
 
