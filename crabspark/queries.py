@@ -2878,7 +2878,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     heavy_hitters; at 100 TB the (source, term) key space is bounded by
     vocabulary x sources, orders of magnitude below corpus size."""
     d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
-    n_docs = d.select("doc_id")  # N via window-free scalar: count below
+    # N as a broadcast 1-row aggregate, not a driver-side count(): the
+    # count would be a full corpus scan action on every plan build
+    n_row = d.agg(F.count("*").alias("__n"))
     terms = d.select(
         "doc_id", "source", F.explode("toks").alias("term")
     ).filter(F.length("term") >= 3)
@@ -2886,7 +2888,6 @@ def q_tfidf_top_terms(spark, sf_dir):
     df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    n = n_docs.count()  # tiny driver scalar; constant-folds into the plan
     w = Window.partitionBy("source").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
@@ -2894,6 +2895,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         tf.join(df, "term")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        .crossJoin(F.broadcast(n_row))
         .select(
             "source",
             "rank",
@@ -2902,7 +2904,9 @@ def q_tfidf_top_terms(spark, sf_dir):
             "df",
             F.round(
                 F.col("tf")
-                * F.log((F.lit(float(n + 1))) / (F.col("df") + F.lit(1.0))),
+                * F.log(
+                    (F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
                 4,
             ).alias("tfidf"),
         )
