@@ -2995,6 +2995,149 @@ FROM d GROUP BY shard
 """
 
 
+def q_crawl_delay_schedule(spark, sf_dir):
+    """Politeness budgeting: parse Crawl-delay out of each host's robots
+    text, apply the reference's 1-second default where absent or
+    unparseable (reference src/constants.rs politeness delay), and join
+    against the frontier's per-host URL counts to get each host's
+    serial-fetch ETA (n_urls x delay) — the number the scheduler uses to
+    decide which hosts bound the crawl's critical path. Robots text
+    synthesizes from nation like robots_join, with a Crawl-delay line on
+    half the hosts.
+
+    Scale shape: the robots dim is tiny (one row per host) and
+    broadcast; the frontier side is one map-side-combinable count per
+    host. Nothing shuffles but host-keyed partials."""
+    urls = _urls(spark, sf_dir).withColumn("host", F.expr(_HOST_SPARK))
+    per_host = urls.groupBy("host").agg(F.count("*").alias("n_urls"))
+    robots = (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.concat(
+                F.lit("www.host"),
+                (F.col("n_nationkey") % 20).cast("string"),
+                F.lit(".com"),
+            ).alias("host"),
+            F.concat(
+                F.when(
+                    F.col("n_nationkey") % 2 == 0,
+                    F.concat(
+                        F.lit("Crawl-delay: "),
+                        (F.col("n_nationkey") % 7 + 2).cast("string"),
+                        F.lit("\n"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("Disallow: /"),
+                F.col("n_name"),
+            ).alias("robots_txt"),
+        )
+        .groupBy("host")
+        .agg(F.min("robots_txt").alias("robots_txt"))
+    )
+    rx = F.regexp_extract("robots_txt", r"Crawl-delay: ([0-9]+)", 1)
+    # guard the empty no-match string BEFORE the cast: under ANSI mode
+    # (Spark 4 default posture) CAST('' AS LONG) throws instead of
+    # yielding NULL, and the driver's session config is not ours to set
+    delay = F.coalesce(F.when(rx != "", rx).cast("long"), F.lit(1))
+    return (
+        per_host.join(F.broadcast(robots), "host", "left")
+        .select(
+            "host",
+            "n_urls",
+            F.coalesce(delay, F.lit(1)).alias("delay_s"),
+            (F.col("n_urls") * F.coalesce(delay, F.lit(1))).alias(
+                "serial_eta_s"
+            ),
+        )
+    )
+
+
+SQL_CRAWL_DELAY_SCHEDULE = f"""
+WITH urls AS ({_URLS_SQL}),
+hosted AS (SELECT key, {_HOST_DUCK} AS host FROM urls),
+per_host AS (SELECT host, count(*) AS n_urls FROM hosted GROUP BY host),
+robots AS (
+  SELECT host, min(robots_txt) AS robots_txt FROM (
+    SELECT 'www.host' || CAST(n_nationkey % 20 AS VARCHAR) || '.com' AS host,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN 'Crawl-delay: ' || CAST(n_nationkey % 7 + 2 AS VARCHAR)
+                     || chr(10)
+                ELSE '' END
+           || 'Disallow: /' || n_name AS robots_txt
+    FROM nation) GROUP BY host),
+delays AS (
+  SELECT p.host, p.n_urls,
+         coalesce(
+           CASE WHEN regexp_extract(r.robots_txt,
+                                    'Crawl-delay: ([0-9]+)', 1) = ''
+                THEN NULL
+                ELSE CAST(regexp_extract(r.robots_txt,
+                                         'Crawl-delay: ([0-9]+)', 1)
+                          AS BIGINT) END,
+           1) AS delay_s
+  FROM per_host p LEFT JOIN robots r ON p.host = r.host)
+SELECT host, n_urls, delay_s, n_urls * delay_s AS serial_eta_s FROM delays
+"""
+
+
+def q_domain_diversity(spark, sf_dir):
+    """Corpus-health diversity metrics per source: distinct hosts, doc
+    count, the max single-host share, and the Shannon entropy (nats,
+    rounded) of the host distribution — the first thing a corpus audit
+    checks before training (a 'diverse' source that is 90% one domain is
+    a dedup/overfit hazard). Hosts fold from doc_id the same way the
+    capture fixtures fold hosts.
+
+    Scale shape: two stacked map-side-combinable aggregations
+    ((source, host) counts, then per-source rollup); entropy is computed
+    from the per-host counts with one fixed operation order so both
+    engines' doubles agree to the rounding tolerance."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 37).cast("string")
+        ).alias("host"),
+    )
+    hc = d.groupBy("source", "host").agg(F.count("*").alias("n"))
+    tot = hc.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_hosts"),
+        F.max("n").alias("max_host_n"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("_snln"),
+    )
+    # H = ln(N) - (1/N) * sum(n_i * ln(n_i)) — one pass, no per-row p_i
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_hosts",
+        F.round(F.col("max_host_n") / F.col("n_docs"), 4).alias(
+            "max_host_share"
+        ),
+        F.round(
+            F.log(F.col("n_docs").cast("double"))
+            - F.col("_snln") / F.col("n_docs"),
+            4,
+        ).alias("host_entropy"),
+    )
+
+
+SQL_DOMAIN_DIVERSITY = """
+WITH d AS (
+  SELECT source, 'host' || CAST(doc_id % 37 AS VARCHAR) AS host
+  FROM documents),
+hc AS (SELECT source, host, count(*) AS n FROM d GROUP BY source, host),
+tot AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_hosts,
+         max(n) AS max_host_n,
+         sum(n * ln(CAST(n AS DOUBLE))) AS snln
+  FROM hc GROUP BY source)
+SELECT source, n_docs, n_hosts,
+       round(CAST(max_host_n AS DOUBLE) / n_docs, 4) AS max_host_share,
+       round(ln(CAST(n_docs AS DOUBLE)) - snln / n_docs, 4) AS host_entropy
+FROM tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3063,6 +3206,11 @@ REGISTRY: dict[str, tuple] = {
     "cdx_index": (q_cdx_index, SQL_CDX_INDEX),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "shard_manifest": (q_shard_manifest, SQL_SHARD_MANIFEST),
+    "crawl_delay_schedule": (
+        q_crawl_delay_schedule,
+        SQL_CRAWL_DELAY_SCHEDULE,
+    ),
+    "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
 }
 
 

@@ -19,6 +19,8 @@ ordering that matters is the batch id recorded per row.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -496,6 +498,64 @@ def start_host_rate(
     return (
         agg.writeStream.outputMode("append")
         .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_warc_export(
+    spark: SparkSession,
+    pages_dir: str,
+    outdir: str,
+    checkpoint_dir: str,
+    wet: bool = False,
+    pages_schema: str = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ),
+):
+    """Streaming archival sink — the write-side twin of start_warc_ingest:
+    tail pages_dir for new parquet and roll each micro-batch into its own
+    WARC (or WET) archive set under ``outdir/b{batch:06d}/`` with
+    per-record gzip members + CDX sidecars (crabspark.warc.write_warc /
+    write_wet). This is how a live crawl publishes a Common-Crawl-style
+    feed incrementally: downstream consumers see whole, indexed archives
+    appear batch-by-batch, and read_warc/read_cdx over ``outdir`` see
+    the union (both readers do a recursive glob-filtered listing).
+
+    Crash safety: the batch's subdir is wiped and rewritten on re-entry,
+    and a ``_batch-N.done`` marker lands only after every archive in the
+    batch is fully written — so a crash between the writer and Spark's
+    offset checkpoint replays the batch into the same subdir with no
+    duplicate or stale part files, and a marker means the subdir is
+    complete and immutable. Exactly-once at archive granularity, the
+    same replay-guard shape as the candidate-sink's high-water mark."""
+    import shutil
+
+    from crabspark.warc import write_warc, write_wet
+
+    ship_package(spark)
+    os.makedirs(outdir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(pages_schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"b{int(batch_id):06d}"
+        marker = os.path.join(outdir, f"_batch-{tag}.done")
+        if os.path.exists(marker):
+            return  # replayed after the marker: the subdir is complete
+        sub = os.path.join(outdir, tag)
+        shutil.rmtree(sub, ignore_errors=True)  # half-written prior try
+        writer = write_wet if wet else write_warc
+        n = writer(batch_df, sub, gzip_out=True, prefix=tag)
+        with open(marker, "w") as f:
+            f.write(str(n))
+
+    return (
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -243,6 +243,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")  # per-batch export subdirs
         .load(path)
         # the glob also matches CDX sidecars (part-N.warc.gz.cdx) the
         # write side emits — drop them at the listing, not executor-side
@@ -312,7 +313,9 @@ def _write_archive_with_cdx(
         f.write("\n".join(cdx_lines) + "\n")
 
 
-def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
+def write_warc(
+    df: DataFrame, outdir: str, gzip_out: bool = True, prefix: str = "part"
+) -> int:
     """pages DataFrame -> `part-{pid:05d}.warc[.gz]` per non-empty
     partition (WARC-Type: response with a minimal HTTP/1.1 frame, so any
     conforming reader — including read_warc — round-trips it), gzipped
@@ -350,7 +353,7 @@ def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
                     (row.url, _cdx_ts(row.warc_ts), head + _SEP + http + _SEP)
                 )
         if recs:
-            name = f"part-{pid:05d}.warc" + (".gz" if gzip_out else "")
+            name = f"{prefix}-{pid:05d}.warc" + (".gz" if gzip_out else "")
             _write_archive_with_cdx(outdir, name, recs, gzip_out)
             yield pd.DataFrame({"file": [name], "records": [len(recs)]})
 
@@ -358,7 +361,9 @@ def write_warc(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
     return len(manifest)
 
 
-def write_wet(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
+def write_wet(
+    df: DataFrame, outdir: str, gzip_out: bool = True, prefix: str = "part"
+) -> int:
     """pages DataFrame -> WET files (`WARC-Type: conversion`, bare
     ``text/plain`` payload = the ``text`` column) — the format Common
     Crawl publishes extracted text in, and the cheapest interchange shape
@@ -392,7 +397,7 @@ def write_wet(df: DataFrame, outdir: str, gzip_out: bool = True) -> int:
                     (row.url, _cdx_ts(row.warc_ts), head + _SEP + text + _SEP)
                 )
         if recs:
-            name = f"part-{pid:05d}.warc.wet" + (".gz" if gzip_out else "")
+            name = f"{prefix}-{pid:05d}.warc.wet" + (".gz" if gzip_out else "")
             _write_archive_with_cdx(outdir, name, recs, gzip_out)
             yield pd.DataFrame({"file": [name], "records": [len(recs)]})
 
@@ -413,7 +418,11 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     snapshot's scale (~300 GB of CDX for 100 TB of WARC) this is an
     ordinary distributed text scan, and sorting by (urlkey, cdx_ts) —
     what q_cdx_index does — is one range-partitioned sort."""
-    lines = spark.read.text(path if "*" in path else path + "/*.cdx")
+    lines = (
+        spark.read.option("pathGlobFilter", "*.cdx")
+        .option("recursiveFileLookup", "true")
+        .text(path)
+    )
     parts = F.split(F.col("value"), " ")
     return (
         lines.filter(~F.col("value").startswith("CDX "))

@@ -472,3 +472,74 @@ def test_warc_streaming_ingest_matches_parquet_ingest(spark, tmp_path):
     got, want = rows(cat_wc), rows(cat_pq)
     assert got == want
     assert len(got) == len(data["pages"])
+
+
+def test_warc_export_sink_rolls_batches_and_replays_safely(spark, tmp_path):
+    """start_warc_export: pages parquet landing in a dir roll into
+    per-batch WARC archive sets (per-record gzip + CDX sidecars);
+    read_warc/read_cdx over the export root see the union across batch
+    subdirs; a replayed batch (marker present) is a no-op and a
+    half-written batch (no marker) is wiped and rewritten."""
+    import pandas as pd
+
+    from crabspark.streaming import start_warc_export
+    from crabspark.warc import read_cdx, read_warc
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "warc_out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def drop(dirpath, n, offset, name):
+        pd.DataFrame(
+            {
+                "url": [f"http://h{offset + i}.example/p" for i in range(n)],
+                "warc_ts": pd.to_datetime(["2024-06-01T00:00:00"] * n)
+                .astype("datetime64[us]"),  # Spark reads us, not ns INT64
+                "html": [f"<html>{offset + i}</html>".encode() for i in range(n)],
+                "text": ["x"] * n,
+                "lang": pd.Series([None] * n, dtype=object).astype("string"),
+            }
+        ).to_parquet(os.path.join(dirpath, name), index=False)
+
+    drop(src, 5, 0, "a.parquet")
+    q = start_warc_export(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    drop(src, 3, 100, "b.parquet")
+    q = start_warc_export(spark, src, out, ck)
+    q.awaitTermination(120)
+
+    markers = sorted(f for f in os.listdir(out) if f.endswith(".done"))
+    assert len(markers) == 2, markers
+    back = read_warc(spark, out)
+    assert back.count() == 8
+    idx = read_cdx(spark, out)
+    assert idx.count() == 8
+    # every CDX row resolves: (file within its batch subdir, offset, length)
+    rows = idx.collect()
+    subdirs = {f for f in os.listdir(out) if os.path.isdir(os.path.join(out, f))}
+    assert len(subdirs) == 2
+    from crabspark.warc import fetch_record
+
+    r = rows[0]
+    sub = next(s for s in subdirs if r.file.startswith(s))
+    rec = fetch_record(os.path.join(out, sub), r.file, r.offset, r.length)
+    assert rec["headers"]["warc-target-uri"] == r.url
+
+    # crash simulation: delete one marker + corrupt its subdir -> the same
+    # batch replays clean on a fresh checkpoint'd run of JUST that data
+    # (marker semantics: present == complete+immutable)
+    victim = markers[0].replace("_batch-", "").replace(".done", "")
+    os.remove(os.path.join(out, f"_batch-{victim}.done"))
+    with open(os.path.join(out, victim, "stale-junk.warc.gz"), "wb") as f:
+        f.write(b"garbage")
+    ck2 = str(tmp_path / "ck2")
+    src2 = str(tmp_path / "pages_in2")
+    os.makedirs(src2)
+    drop(src2, 5, 0, "a.parquet")  # same 5 rows as the victim batch
+    # fresh checkpoint -> batch_id restarts at 0 == victim's id
+    q = start_warc_export(spark, src2, out, ck2)
+    q.awaitTermination(120)
+    assert not os.path.exists(os.path.join(out, victim, "stale-junk.warc.gz"))
+    assert read_warc(spark, out).count() == 8
