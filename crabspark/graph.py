@@ -100,12 +100,17 @@ def pagerank_scores(
     nd = nodes.join(out, nodes.node == out.src, "left").select(
         "node", F.col("outdeg").isNull().alias("dang")
     )
-    if redistribute:
-        # NOT ew: materializing 40M weighted edge rows through the block
-        # manager was measured SLOWER at both widths (49.7/47.7s vs
-        # 40.8/21.0s at 8/32 cores, 40M edges) than re-deriving them from
-        # the (persisted) edge input each round — the scan+join pipelines
-        # into the shuffle, the materialization does not.
+    # cuts pay off only past 2 iterations: a <=2-iter redistribute plan
+    # holds at most 4 copies of the base subtree, which ONE job dedups
+    # via ReusedExchange — cutting there just adds barrier jobs (measured
+    # 3.24s -> lazy ~2s on the sf0.1 oracle graph). NOT ew either way:
+    # materializing 40M weighted edge rows through the block manager was
+    # measured SLOWER at both widths (49.7/47.7s vs 40.8/21.0s at 8/32
+    # cores, 40M edges) than re-deriving them from the (persisted) edge
+    # input each round — the scan+join pipelines into the shuffle, the
+    # materialization does not.
+    cut = redistribute and iters > 2
+    if cut:
         nd = nd.localCheckpoint(eager=True)
 
     base = F.lit(1.0 - damping)
@@ -139,7 +144,7 @@ def pagerank_scores(
                     ).alias("pr"),
                 )
             )
-            if (k + 1) % _REDIST_CHECKPOINT_EVERY == 0 and k + 1 < iters:
+            if cut and (k + 1) % _REDIST_CHECKPOINT_EVERY == 0 and k + 1 < iters:
                 pr = pr.localCheckpoint(eager=True)
         else:
             pr = nd.join(contrib, nd.node == contrib.dst, "left").select(
