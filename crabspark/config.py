@@ -84,10 +84,12 @@ class Config:
     debug: bool = True
     live_logging: bool = True
 
-    # Storage (reference src/config.rs:32-34). Parity-only: the rebuild's
-    # Catalog always persists (the distributed engine has no in-memory-only
-    # mode — a crawl that can't checkpoint can't resume); the fields are
-    # accepted so reference config files load unchanged.
+    # Storage (reference src/config.rs:32-34). sqlite_enabled=false is the
+    # reference's ephemeral mode (crawl runs, nothing persists, state dies
+    # with the process): the Engine then roots its catalog in a temp dir
+    # removed at interpreter exit and never touches the caller's workdir —
+    # same observable semantics (no resume across processes). sqlite_path
+    # is parity-only (the store is a snapshot catalog, not sqlite).
     sqlite_enabled: bool = True
     sqlite_path: str = "crawl_results.db"
 

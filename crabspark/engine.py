@@ -91,6 +91,26 @@ class Engine:
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(cfg.arrow_max_records_per_batch),
         )
+        # Ephemeral store mode (reference src/sqlite.rs:9-14 with
+        # sqlite_enabled=false: the crawler runs, nothing persists, state
+        # dies with the process). The distributed engine still needs the
+        # catalog DURING the run (round atomicity, completion fixpoint,
+        # resume-within-process), so ephemeral mode roots it in a
+        # process-lifetime temp dir that is removed at interpreter exit —
+        # observable semantics match the reference: a new process starts
+        # from scratch, and `workdir` is never touched (the reference
+        # likewise ignores sqlite_path when disabled).
+        self._ephemeral_root: str | None = None
+        if not cfg.sqlite_enabled:
+            import atexit
+            import shutil
+            import tempfile
+
+            self._ephemeral_root = tempfile.mkdtemp(prefix="crabspark-eph-")
+            atexit.register(
+                shutil.rmtree, self._ephemeral_root, ignore_errors=True
+            )
+            workdir = self._ephemeral_root
         self.catalog = Catalog(workdir, spark)
         # host-bucketed frontier layout (cfg.frontier_buckets > 0): the
         # politeness rank runs shuffle-free over the bucketed scan

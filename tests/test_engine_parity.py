@@ -224,3 +224,44 @@ def test_link_graph_feeds_graph_operators(tp_engine, golden_full):
     assert sum(r["n_links"] for r in hg) == n_edges
     assert all(r["src_host"] and r["dst_host"] for r in hg)
     assert any(r["is_internal"] == 1 for r in hg)
+
+
+def test_ephemeral_store_mode(spark, fixture_paths, tmp_path):
+    """sqlite_enabled=false (reference src/sqlite.rs:9-14): the crawl runs
+    and produces identical results, the caller's workdir is NEVER
+    created/touched, and a second engine over the same (untouched)
+    workdir starts from scratch instead of resuming — the reference's
+    no-persistence semantics."""
+    import os
+
+    cfg = make_cfg(
+        max_urls_to_visit=SMALL_CAP, collect_images=False,
+        scheduling="throughput", per_host_quota=0, sqlite_enabled=False,
+    )
+    work = str(tmp_path / "never-created")
+    eng = new_engine(spark, fixture_paths, work, cfg)
+    eng.run()
+    assert not os.path.exists(work)  # workdir untouched
+    eph_root = eng._ephemeral_root
+    assert eph_root and os.path.isdir(eph_root)
+    visited = {r["url"] for r in eng.visit_log().select("url").collect()}
+    assert len(visited) == SMALL_CAP
+
+    # same crawl persistent: identical visited set
+    cfg_p = make_cfg(
+        max_urls_to_visit=SMALL_CAP, collect_images=False,
+        scheduling="throughput", per_host_quota=0,
+    )
+    eng_p = new_engine(spark, fixture_paths, str(tmp_path / "persist"), cfg_p)
+    eng_p.run()
+    visited_p = {r["url"] for r in eng_p.visit_log().select("url").collect()}
+    assert visited == visited_p
+
+    # a NEW ephemeral engine: fresh state, re-crawls from the seed (no
+    # resume), in a DIFFERENT temp root
+    eng2 = new_engine(spark, fixture_paths, work, cfg)
+    assert eng2._ephemeral_root != eph_root
+    assert eng2.catalog.committed_round == -1
+    eng2.run()
+    assert {r["url"] for r in eng2.visit_log().select("url").collect()} == visited
+    assert not os.path.exists(work)
