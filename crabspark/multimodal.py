@@ -10,10 +10,12 @@ libraries — 24-bit uncompressed BMP (pure numpy), 8-bit truecolor PNG
 (stdlib zlib, full none/sub/up/average/paeth unfiltering), GIF87a/89a
 (pure-python LZW, interlace + animation frame counts), PCM WAV (stdlib
 ``wave``), plus REAL JPEG dimensions via an SOF marker walk — and a
-deterministic sha1-seeded FAKE only for JPEG pixels and video frames
-(entropy/frame decode needs PIL/ffmpeg, absent in this environment; swapping the
-fallback for them changes one function body; every signature, schema and
-``mapInPandas`` batch contract stays as-is).
+plus a REAL uncompressed-DIB AVI video codec (encode_avi/decode_avi:
+RIFF walk, per-frame BMP-layout pixels) — and a deterministic
+sha1-seeded FAKE only for JPEG pixels and COMPRESSED video frames
+(entropy decode needs PIL/ffmpeg, absent in this environment; swapping
+the fallback for them changes one function body; every signature, schema
+and ``mapInPandas`` batch contract stays as-is).
 
 Operators:
 - ``media_schema``         canonical media-table schema
@@ -30,8 +32,10 @@ Operators:
 - ``audio_features``       binary -> (rms, zero-cross, band energies) for WAV
 - ``resize_images``        binary -> binary; REAL nearest-neighbor,
                            same-format re-encode for BMP/PNG/GIF
-- ``sample_frames``        video binary -> exploded frame rows (stub bytes —
-                           the one remaining fake path, video needs ffmpeg)
+- ``encode_avi/decode_avi``  real uncompressed-DIB AVI codec (RIFF walk)
+- ``sample_frames``        video binary -> exploded frame rows; REAL BMP
+                           frame pixels for uncompressed AVI, stub bytes
+                           only for compressed codecs (need ffmpeg)
 
 All operators run via ``mapInPandas`` so each partition streams
 Arrow batches without materializing the full binary column per row group.
@@ -671,6 +675,13 @@ def decode_meta(df: DataFrame) -> DataFrame:
                 samples, rate = wav
                 return 0, 0, 1, int(len(samples) * 1000 / rate)
         if k == "video":
+            av = decode_avi(b)  # real pixels for uncompressed AVI
+            if av is not None:
+                fr, fps = av
+                return (
+                    fr.shape[2], fr.shape[1], fr.shape[0],
+                    int(fr.shape[0] * 1000 / fps),
+                )
             m = mp4_metadata(b)  # real moov-walk dims/frames/duration
             if m is not None:
                 return m[0], m[1], m[2], m[3]
@@ -837,8 +848,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video -> frame rows (1->N inside mapInPandas; frame bytes are
-    deterministic stubs). Real impl: pyav keyframe iteration per batch."""
+    """Video -> frame rows (1->N inside mapInPandas). REAL pixel decode
+    for uncompressed-DIB AVI (decode_avi): sampled frames are emitted as
+    24-bit BMP bytes, decodable by every image operator downstream.
+    Compressed containers (h264-in-mp4) still get the real stsz frame
+    COUNT from the moov walk but deterministic stub frame bytes —
+    entropy decode needs ffmpeg/pyav, absent in this environment; the
+    schema, sampling, and batch shape are the contract either way."""
     schema = "media_id long, frame_idx int, frame binary"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -846,6 +862,14 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             ids, idxs, frames = [], [], []
             for mid, b, kind in zip(pdf["media_id"], pdf["media"], pdf["kind"]):
                 if kind != "video":
+                    continue
+                av = decode_avi(b)
+                if av is not None:  # real frames
+                    fr, _fps = av
+                    for fi in range(0, fr.shape[0], every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(encode_bmp(fr[fi]))
                     continue
                 m = mp4_metadata(b)
                 if m is not None:
@@ -867,3 +891,118 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# AVI (uncompressed DIB video) — the from-scratch video codec that closes
+# the sample_frames stub for RAW video. Public RIFF/AVI layout: 'RIFF'
+# 'AVI ' { LIST hdrl [avih, LIST strl [strh 'vids'/'DIB ', strf
+# BITMAPINFOHEADER]], LIST movi ['00db' raw frame]* }. Frames are stored
+# exactly like 24-bit BMP pixel data (bottom-up BGR rows, 4-byte row
+# padding), so the per-frame logic is shared with the BMP codec. The
+# compressed-codec paths (h264 in mp4, …) still need ffmpeg and keep the
+# deterministic-fake fallback, loudly documented.
+# ---------------------------------------------------------------------------
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Uncompressed AVI from an NxHxWx3 uint8 RGB array ('DIB ' stream,
+    one '00db' chunk per frame). Stdlib-only, deterministic."""
+    n, h, w, _ = frames.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    frame_size = (row + pad) * h
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return out
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_size * fps, 0, 0,
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    # strh: fccType/fccHandler + flags, prio+lang, initial, scale, rate,
+    # start, length, bufsize, quality, samplesize + rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<IIIIIIIIII", 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0
+        )
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+
+    movi_body = bytearray()
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            rows.append(f[y][:, ::-1].tobytes() + b"\x00" * pad)
+        movi_body += chunk(b"00db", b"".join(rows))
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + bytes(movi_body)
+
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(b: bytes) -> tuple[np.ndarray, int] | None:
+    """(NxHxWx3 uint8 RGB frames, fps) for uncompressed-DIB AVI; None for
+    anything else (compressed fourccs, truncated headers). Never raises
+    (same contract as every codec here); a truncated movi yields the
+    intact frame prefix."""
+    b = bytes(b or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    try:
+        w = h = n = 0
+        fps = 25
+        bitcount = 0
+        compression = None
+        frames: list[np.ndarray] = []
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal w, h, n, fps, bitcount, compression
+            while pos + 8 <= end:
+                tag = b[pos:pos + 4]
+                size = struct.unpack_from("<I", b, pos + 4)[0]
+                data_start = pos + 8
+                data_end = min(data_start + size, end, len(b))
+                if tag == b"LIST":
+                    walk(data_start + 4, data_end)
+                elif tag == b"avih" and size >= 40:
+                    vals = struct.unpack_from("<10I", b, data_start)
+                    us_pf = vals[0]
+                    n = vals[4]
+                    w, h = vals[8], vals[9]
+                    if us_pf:
+                        fps = max(1, round(1_000_000 / us_pf))
+                elif tag == b"strf" and size >= 40:
+                    (_sz, _w, _h, _planes, bc, comp) = struct.unpack_from(
+                        "<IiiHHI", b, data_start
+                    )
+                    bitcount, compression = bc, comp
+                elif tag in (b"00db", b"00dc") and w and h:
+                    row = w * 3
+                    pad = (4 - row % 4) % 4
+                    need = (row + pad) * h
+                    if data_end - data_start >= need:
+                        arr = (
+                            np.frombuffer(b, np.uint8, need, data_start)
+                            .reshape(h, row + pad)[:, :row]
+                            .reshape(h, w, 3)[::-1, :, ::-1]
+                        )
+                        frames.append(arr.copy())
+                pos = data_start + size + (size % 2)
+
+        walk(12, len(b))
+        if not frames or bitcount != 24 or compression not in (0, None):
+            return None
+        return np.stack(frames), fps
+    except (struct.error, ValueError):
+        return None
