@@ -112,3 +112,39 @@ def test_distributed_build_matches_local():
     # same false-positive envelope as a locally-built filter
     probe = pd.Series(_sha1s("probe", 20_000))
     assert dist.might_contain(probe).mean() < 0.005
+
+
+def test_delete_misuse_flips_saturated():
+    """Round-5 advisor fix: deleting never-inserted keys would silently
+    evict colliding live keys' fingerprints (false negatives). A
+    legitimately-inserted key's fingerprint is always findable, so a
+    MISSED delete proves misuse — the filter must flip `saturated`
+    (degrade to all-True; the exact anti-join failsafe downstream stays
+    correct) rather than corrupt."""
+    keys = _sha1s("live", 5_000)
+    never = _sha1s("ghost", 500)
+    f = CuckooFilter(capacity=20_000)
+    f.add_array(keys)
+    assert f.n_inserted == len(keys) and f.n_deleted == 0
+    f.delete_array(never)  # some ghosts will miss -> guard trips
+    assert f.saturated
+    # no false negatives ever: saturated answers True for everything
+    assert f.might_contain(pd.Series(keys)).all()
+    assert f.might_contain(pd.Series(never)).all()
+    # and further deletes are no-ops on a saturated filter
+    assert f.delete_array(keys[:10]) == 0
+
+
+def test_delete_guard_counts_survive_save_load(tmp_path):
+    keys = _sha1s("x", 1_000)
+    f = CuckooFilter(capacity=10_000)
+    f.add_array(keys)
+    f.delete_array(keys[:100])
+    path = str(tmp_path / "f.npz")
+    f.save(path)
+    g = CuckooFilter.load(path, capacity=10_000)
+    assert (g.n_inserted, g.n_deleted) == (f.n_inserted, f.n_deleted)
+    assert not g.saturated
+    # a loaded filter still enforces the guard
+    g.delete_array(_sha1s("ghost2", 200))
+    assert g.saturated
