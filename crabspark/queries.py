@@ -3138,6 +3138,111 @@ FROM tot
 """
 
 
+_SUB_W = 5  # duplicate-window width in tokens (Lee et al. use 50 at scale;
+# fixture docs are short, so the operator parameterizes down — the plan
+# shape is identical at any W)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Substring-level exact dedup — the FOURTH dedup granularity
+    (document: dedup_exact; near-doc: minhash/simhash/ngram/embedding;
+    line: line_dedup; and now exact duplicated SPANS, the 'Deduplicating
+    Training Data Makes Language Models Better' operator): any run of
+    _SUB_W consecutive tokens that also appears in ANOTHER doc marks its
+    positions duplicated; overlapping duplicated windows merge into
+    maximal spans (gaps-and-islands over a running max of window ends),
+    and each doc reports its span count, duplicated-token count, and
+    duplicated-token share — the numbers a span-strip pass would act on.
+
+    Scale shape: one posexplode -> window-gram DF hash agg (map-side
+    combinable; a gram's row count = its DOC frequency, bounded like
+    boilerplate_ngrams) -> the duplicate positions shuffle ONCE keyed by
+    doc for the island merge (bounded by positions-per-doc, not corpus)
+    -> one per-doc rollup. All integer arithmetic — hash-exact across
+    engines."""
+    d = _t(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
+    grams = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(F.expr(_word_ngrams_spark(_SUB_W))).alias("pos", "gram"),
+    )
+    df = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("gdf")
+    )
+    dup = grams.join(df, "gram").filter(F.col("gdf") > 1)
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        dup.select("doc_id", "n_tokens", "pos")
+        .withColumn("prev_max_end", F.max(F.col("pos") + _SUB_W).over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_order))
+    )
+    spans = islands.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _SUB_W).alias("e")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_dup_spans").cast("int").alias("n_dup_spans"),
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
+                "dup_share"
+            ),
+        )
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest({_word_ngrams_duck(_SUB_W)}) AS gram,
+         unnest(range(1, greatest(len(toks) - {_SUB_W - 2}, 1))) - 1 AS pos
+  FROM t),
+gdf AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY gram),
+dup AS (
+  SELECT g.doc_id, g.n_tokens, g.pos
+  FROM grams g JOIN gdf USING (gram) WHERE gdf.gdf > 1),
+islands AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN max(pos + {_SUB_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {_SUB_W}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup),
+numbered AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands),
+spans AS (
+  SELECT doc_id, n_tokens, island, min(pos) AS s, max(pos) + {_SUB_W} AS e
+  FROM numbered GROUP BY doc_id, n_tokens, island)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) AS INT) AS n_dup_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(e - s) AS DOUBLE) / n_tokens, 4) AS dup_share
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3211,6 +3316,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_CRAWL_DELAY_SCHEDULE,
     ),
     "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
 }
 
 
