@@ -3138,6 +3138,142 @@ FROM tot
 """
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimator calibration: for every LSH candidate pair
+    (2-word shingles, the 12-hash signature q_minhash_lsh_pairs banded),
+    report the SIGNATURE-based Jaccard estimate (share of agreeing
+    minhashes — what a signatures-only pipeline would act on), the exact
+    shingle Jaccard, and their absolute error. This is the validation
+    query a dedup rollout runs before trusting signature thresholds: the
+    error distribution tells you how much slack to leave between the
+    signature cutoff and the contract threshold.
+
+    Scale shape: identical to the LSH pair query (one explode+groupBy
+    signature scan, band self-join, candidate-only verify) plus 12
+    column equality checks per candidate — no new shuffles. est is k/12
+    (exact dyadic-ish rationals, engine-identical); abs_err is computed
+    from the two ROUNDED columns so both engines round once."""
+    n_hash = _MH_BAND * _MH_ROWS
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SPARK).alias("toks")
+    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("sh")).localCheckpoint()
+    sigs = (
+        sh.select("doc_id", F.explode("sh").alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(
+                    f"mh{i}"
+                )
+                for i in range(n_hash)
+            ]
+        )
+        .localCheckpoint()  # feeds bands AND both verify sides
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{k}:"),
+                        *[f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)],
+                    )
+                    for k in range(_MH_BAND)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hash)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hash)],
+    )
+    xa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    xb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_hash)
+    )
+    est = F.round(agree / F.lit(float(n_hash)), 4)
+    exact = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .join(xa, "doc_a").join(xb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4),
+        )
+    )
+
+
+def _sql_minhash_estimate() -> str:
+    n_hash = _MH_BAND * _MH_ROWS
+    mins = ", ".join(f"min(md5('{i}|' || g)) AS mh{i}" for i in range(n_hash))
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, '%d:' || %s AS bkey FROM sig"
+        % (k, " || ".join(f"mh{k * _MH_ROWS + j}" for j in range(_MH_ROWS)))
+        for k in range(_MH_BAND)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END"
+        for i in range(n_hash)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM toks),
+flat AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM flat GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(({agree}) / {float(n_hash)}, 4) AS est_jaccard,
+         round(CAST(len(list_intersect(p.sh, q.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(p.sh, q.sh))), 4)
+           AS exact_jaccard
+  FROM cand c
+  JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id
+  JOIN sh p ON c.doc_a = p.doc_id JOIN sh q ON c.doc_b = q.doc_id)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+FROM scored
+"""
+
+
+SQL_MINHASH_ESTIMATE = _sql_minhash_estimate()
+
+
 _SUB_W = 5  # duplicate-window width in tokens (Lee et al. use 50 at scale;
 # fixture docs are short, so the operator parameterizes down — the plan
 # shape is identical at any W)
@@ -3317,6 +3453,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "minhash_estimate": (q_minhash_estimate, SQL_MINHASH_ESTIMATE),
 }
 
 
