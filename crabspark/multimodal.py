@@ -9,11 +9,12 @@ signatures — with REAL codecs for the formats decodable without external
 libraries — 24-bit uncompressed BMP (pure numpy), 8-bit truecolor PNG
 (stdlib zlib, full none/sub/up/average/paeth unfiltering), GIF87a/89a
 (pure-python LZW, interlace + animation frame counts), PCM WAV (stdlib
-``wave``), plus REAL JPEG dimensions via an SOF marker walk — and a
+``wave``), BASELINE JPEG (crabspark.jpeg: Annex-K tables, from-scratch
+Huffman entropy codec, vectorized DCT/IDCT, 4:4:4 + 4:2:0) — and a
 plus a REAL uncompressed-DIB AVI video codec (encode_avi/decode_avi:
 RIFF walk, per-frame BMP-layout pixels) — and a deterministic
-sha1-seeded FAKE only for JPEG pixels and COMPRESSED video frames
-(entropy decode needs PIL/ffmpeg, absent in this environment; swapping
+sha1-seeded FAKE only for progressive-JPEG pixels and COMPRESSED video
+frames (those need PIL/ffmpeg, absent in this environment; swapping
 the fallback for them changes one function body; every signature, schema
 and ``mapInPandas`` batch contract stays as-is).
 
@@ -258,7 +259,8 @@ def decode_png(b: bytes) -> np.ndarray | None:
 
 def decode_image(b: bytes) -> tuple[np.ndarray, str] | None:
     """(HxWxC uint8 pixels, format) for every REAL image codec we carry:
-    24-bit BMP, 8-bit truecolor PNG, and GIF (first frame)."""
+    24-bit BMP, 8-bit truecolor PNG, GIF (first frame), and baseline
+    JPEG (crabspark.jpeg — from-scratch Huffman + vectorized IDCT)."""
     img = decode_bmp(b)
     if img is not None:
         return img, "bmp"
@@ -268,6 +270,12 @@ def decode_image(b: bytes) -> tuple[np.ndarray, str] | None:
     img = decode_gif(b)
     if img is not None:
         return img, "gif"
+    if b is not None and bytes(b[:2]) == b"\xff\xd8":
+        from crabspark.jpeg import decode_jpeg
+
+        img = decode_jpeg(b)
+        if img is not None:
+            return img, "jpeg"
     return None
 
 
@@ -827,8 +835,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                     resized = img[ys][:, xs]
                     # same-format re-encode; nearest-neighbor keeps GIF
                     # output within the source palette (<= 256 colors)
+                    from crabspark.jpeg import encode_jpeg
+
                     enc = {"bmp": encode_bmp, "png": encode_png,
-                           "gif": encode_gif}[fmt]
+                           "gif": encode_gif,
+                           "jpeg": lambda px: encode_jpeg(px, quality=90)}[fmt]
                     out.append(enc(resized))
                     decoded.append(True)
                 else:

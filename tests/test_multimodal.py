@@ -689,3 +689,99 @@ def test_sample_frames_real_pixels_for_avi(media, spark=None):
     meta = M.decode_meta(df).collect()[0]
     assert (meta["width"], meta["height"], meta["n_frames"]) == (5, 6, 25)
     assert meta["duration_ms"] == 5000
+
+
+def test_jpeg_roundtrip_psnr_and_subsampling():
+    """From-scratch baseline JPEG: encode->decode must reconstruct
+    within lossy-codec tolerance (PSNR > 30 dB on smooth content at
+    q90), for 4:4:4 and 4:2:0, including non-multiple-of-16 dims."""
+    import numpy as np
+
+    from crabspark.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 256, (xx * 4) % 256, (yy * 5) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in (False, True):
+        blob = encode_jpeg(img, quality=90, subsample=sub)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        back = decode_jpeg(blob)
+        assert back is not None and back.shape == img.shape
+        mse = float(np.mean((back.astype(float) - img.astype(float)) ** 2))
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+        assert psnr > 30.0, (sub, psnr)
+    # quality ladder: lower quality -> smaller file, roughly worse psnr
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (95, 75, 40, 10)]
+    assert sizes == sorted(sizes, reverse=True), sizes
+    # dimensions via the marker walk agree with the decoder
+    blob = encode_jpeg(img)
+    assert M.jpeg_dimensions(blob) == (w, h)
+
+
+def test_jpeg_decode_never_raises_and_rejects_nonbaseline():
+    import numpy as np
+
+    from hypothesis import given, settings, strategies as st
+
+    from crabspark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((9, 9, 3), np.uint8)
+    base = encode_jpeg(img)
+    # progressive SOF2 marker must be rejected, not mis-decoded
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=200, deadline=None)
+    def run(blob):
+        decode_jpeg(blob)
+        decode_jpeg(b"\xff\xd8" + blob)
+        mutated = bytearray(base)
+        for i, bb in enumerate(blob[:24]):
+            mutated[(bb * 41 + i) % len(mutated)] ^= bb or 1
+        decode_jpeg(bytes(mutated))
+
+    run()
+
+
+def test_jpeg_flows_through_image_operators(media):
+    """decode_image/image_features/resize_images treat baseline JPEG as
+    a REAL format now: features come from pixels (not the fake), resize
+    re-encodes as JPEG and the result decodes at the target size."""
+    import numpy as np
+    import pandas as pd
+    from tests.sparkutil import get_spark
+
+    from crabspark.jpeg import encode_jpeg
+
+    spark = get_spark()
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 7) % 256, (xx * 3) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    blob = encode_jpeg(img, quality=92)
+    dec = M.decode_image(blob)
+    assert dec is not None and dec[1] == "jpeg" and dec[0].shape == img.shape
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.Series([7], dtype="int64"),
+            "kind": ["image"],
+            "media": [blob],
+            "source_url": ["http://i.example/x.jpg"],
+            "content_type": ["image/jpeg"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    feats = M.image_features(df).collect()[0]
+    assert feats["decoded"] is True
+    rs = M.resize_images(df, 16, 12).collect()[0]
+    assert rs["decoded"] is True
+    out = M.decode_image(bytes(rs["media"]))
+    assert out is not None and out[1] == "jpeg"
+    assert out[0].shape == (12, 16, 3)
