@@ -146,6 +146,20 @@ def _content_decode(data: bytes, encoding: str) -> bytes:
     return b""  # br/zstd/unknown: no codec available — drop, don't garble
 
 
+def _http_status(body: bytes) -> int | None:
+    """HTTP status code from a response record's status line; None when
+    the body carries no HTTP frame (conversion records)."""
+    if not body.startswith(b"HTTP/"):
+        return None
+    line_end = body.find(_CRLF)
+    if line_end < 0:
+        return None
+    parts = body[:line_end].split(b" ")
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None
+    return int(parts[1])
+
+
 def _http_payload(body: bytes) -> tuple[str | None, bytes]:
     """Split a WARC response record's HTTP message into (content_type,
     entity bytes), undoing Transfer-Encoding: chunked and
@@ -196,6 +210,14 @@ def _records_to_pages(blobs: Iterable[bytes]) -> pd.DataFrame:
                 continue
             url = h.get("warc-target-uri")
             if not url:
+                continue
+            # real archives capture 404s/redirects/errors as response
+            # records; only 2xx captures are page content (a redirect's
+            # body is a stub page, a 404's is an error page — both would
+            # poison the corpus as 'text of url'). Records with no HTTP
+            # frame (conversion/WET) have no status and pass through.
+            status = _http_status(rec["body"])
+            if status is not None and not (200 <= status < 300):
                 continue
             ctype, payload = _http_payload(rec["body"])
             if ctype is None:

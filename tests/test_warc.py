@@ -364,3 +364,33 @@ def test_surt_key():
     assert surt_key("https://www.Example.com/a/b?c=1") == "com,example)/a/b?c=1"
     assert surt_key("http://sub.host.org:8080/") == "org,host,sub)/"
     assert surt_key("http://host.net") == "net,host)/"
+
+
+def test_non_2xx_responses_are_not_pages():
+    """404s/redirects are captured as WARC response records by real
+    crawlers; their bodies (error/stub pages) must not enter the pages
+    table as the url's content. Statusless bodies (conversion records)
+    are unaffected."""
+    from crabspark.warc import _records_to_pages
+
+    def http_with_status(status_line, html):
+        return (
+            status_line + b"\r\nContent-Type: text/html\r\n\r\n" + html
+        )
+
+    arc = (
+        _rec("response", "http://ok.example/", http_with_status(
+            b"HTTP/1.1 200 OK", b"<html>good</html>"))
+        + _rec("response", "http://gone.example/", http_with_status(
+            b"HTTP/1.1 404 Not Found", b"<html>404</html>"))
+        + _rec("response", "http://moved.example/", http_with_status(
+            b"HTTP/1.1 301 Moved Permanently", b"<html>moved</html>"))
+        + _rec("response", "http://created.example/", http_with_status(
+            b"HTTP/1.1 201 Created", b"<html>created</html>"))
+        + _rec("conversion", "http://wet.example/", b"bare text body")
+    )
+    pdf = _records_to_pages([arc])
+    assert set(pdf["url"]) == {
+        "http://ok.example/", "http://created.example/",
+        "http://wet.example/",
+    }
