@@ -344,6 +344,11 @@ def write_warc(
     one member per record, with a CDX sidecar per archive. Executor
     tasks write their own file, the same per-partition-file shape as a
     parquet sink; returns the number of files written."""
+    from crabspark.shipping import ship_package
+
+    ship_package(df.sparkSession)  # the dump closure resolves via the
+    # crabspark module on executors (cloudpickle pickles module-level
+    # closures by reference) — same shipping contract as read_warc
     os.makedirs(outdir, exist_ok=True)
 
     def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,6 +397,11 @@ def write_wet(
     for a text-only LLM-corpus pipeline: read_warc round-trips it with
     ``text`` byte-identical (no re-extraction pass). Same
     file-per-partition sink shape as write_warc."""
+    from crabspark.shipping import ship_package
+
+    ship_package(df.sparkSession)  # the dump closure resolves via the
+    # crabspark module on executors (cloudpickle pickles module-level
+    # closures by reference) — same shipping contract as read_warc
     os.makedirs(outdir, exist_ok=True)
 
     def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
