@@ -127,3 +127,58 @@ def test_spark_submit_py_files_multi_executor(submit_fixture, tmp_path):
 
     # state really landed in the checkpoint dir (resumable lineage)
     assert os.path.isdir(workdir) and os.listdir(workdir)
+
+
+def test_warc_ingest_cli_spark_submit(tmp_path):
+    """bin/warc_ingest.py through real spark-submit --py-files from a
+    neutral cwd: guards the write_warc/write_wet executor-shipping
+    regression (closures pickle by reference to the crabspark module, so
+    BOTH directions must ship the package themselves)."""
+    import pandas as pd
+
+    from crabspark.shipping import build_zip
+    from crabspark.warc import write_warc
+    from tests.sparkutil import get_spark
+
+    spark = get_spark()
+    warcs = str(tmp_path / "warcs")
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://h{i}.example/p" for i in range(12)],
+            "warc_ts": pd.to_datetime(["2024-06-01"] * 12)
+            .astype("datetime64[us]"),
+            "html": [f"<html>doc {i}</html>".encode() for i in range(12)],
+            "text": ["x"] * 12,
+            "lang": pd.Series([None] * 12, dtype=object).astype("string"),
+        }
+    )
+    write_warc(spark.createDataFrame(pdf).repartition(2), warcs)
+    zip_path = build_zip(str(tmp_path))
+
+    out = str(tmp_path / "pages")
+    neutral_cwd = str(tmp_path / "cwd")
+    os.makedirs(neutral_cwd)
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            _spark_submit_bin(),
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "bin", "warc_ingest.py"),
+            "--warcs", warcs,
+            "--out", out,
+        ],
+        cwd=neutral_cwd, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.loads(
+        [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
+    )
+    assert report["pages"] == 12
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert {r["url"] for r in got.select("url").collect()} == set(pdf["url"])
