@@ -349,3 +349,56 @@ def test_hll_accuracy_across_decades(spark):
         else:
             est = math.floor(est_raw)
         assert abs(est - n) / n < tol, (n, est)
+
+
+def test_crawl_delay_broadcasts_robots_dim(spark):
+    """The robots dim is one row per host — if the per-host URL counts
+    (the 100-TB side at scale) sort-merge against it instead of
+    broadcasting, the frontier shuffles for a 20-row lookup."""
+    import re
+
+    plan = (
+        Q.REGISTRY["crawl_delay_schedule"][0](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"BroadcastHashJoin \[host#\d+", plan), plan
+    assert not re.search(r"SortMergeJoin \[host#\d+", plan), plan
+
+
+def test_shard_manifest_is_single_aggregation(spark):
+    """One map-side-combinable hash agg over the corpus, 32 output rows:
+    exactly one shuffle exchange (the 32-key partial-agg merge), no
+    joins, no sorts."""
+    plan = (
+        Q.REGISTRY["shard_manifest"][0](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_tfidf_n_docs_is_broadcast_not_collected(spark):
+    """N rides the plan as a broadcast 1-row aggregate
+    (BroadcastNestedLoopJoin of a single row), never a driver-side
+    count() action at plan-build time. Job accounting is measured
+    AGAINST A CONTROL build in the same session (the first parquet read
+    of a session runs one environmental schema job either way; a count()
+    would add a full-scan job on top)."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    a = jobs()
+    Q.REGISTRY["shard_manifest"][0](spark, SF_DIR)  # control: no count()
+    control = jobs() - a
+    b = jobs()
+    df = Q.REGISTRY["tfidf_top_terms"][0](spark, SF_DIR)
+    assert jobs() - b <= control, (
+        "tfidf plan build ran more jobs than the control build "
+        "(driver-side count()?)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
