@@ -39,7 +39,15 @@ _REDIST_CHECKPOINT_EVERY = 1
 
 
 def node_degrees(edges: DataFrame) -> DataFrame:
-    """Out/in degree + dangling flag per node of an (src, dst) edge list."""
+    """Out/in degree + dangling flag per node of an (src, dst) edge list.
+
+    The edge list is materialized once (eager localCheckpoint): the plan
+    references it four times (node set twice + both degree aggs), and a
+    lazy edge derivation re-scans and re-distincts its source per
+    reference — at the sf1.0 fixture that was 8 parquet scans of the 6M
+    lineitem rows in one plan. Same contract as hits_scores' materialized
+    graph."""
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
@@ -92,6 +100,15 @@ def pagerank_scores(
     if dangling not in ("redistribute", "leak"):
         raise ValueError("dangling must be 'redistribute' or 'leak'")
     redistribute = dangling == "redistribute"
+    # Materialize the graph ONCE (eager localCheckpoint, the hits_scores
+    # contract): the unrolled plan references `edges` 2x per iteration
+    # plus 3x for nodes/outdeg, and a lazy edge derivation re-scans and
+    # re-distincts its source per reference — the sf1.0 fixture plan held
+    # 20 (leak) / 46 (redistribute) parquet scans of the 6M-row lineitem
+    # table before this cut. NOT ew (edges x outdeg): materializing the
+    # weighted edge rows was measured slower at 40M edges (see module
+    # docstring) — only the raw edge list is cut.
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

@@ -29,8 +29,13 @@ PLANT_ID_OFFSET = 1_000_000
 def augmented_df(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
+    # spread the one-split fixture file across the cores (fixture layer:
+    # the side-input is small by construction, so this is a few-MB
+    # round-robin; without it every consumer's band-key computation runs
+    # in the single scan task of the sub-split-size parquet file)
     base = (
         spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(

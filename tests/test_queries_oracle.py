@@ -110,6 +110,22 @@ def test_hashed_verify_matches_exact(spark):
     )
     bad = hashed.filter(F.col("nh") != F.col("ns")).count()
     assert bad == 0  # distinct strings -> distinct hashes on this corpus
+    # r7: boilerplate_ngrams / substring_dedup / the blocked baseline key
+    # their gram/token shuffles on xxhash64 too — pin corpus-WIDE hash
+    # injectivity for the word n-gram widths they use (5-gram, _SUB_W-gram
+    # and unigram token sets)
+    t = Q._t(spark, SF_DIR, "documents").withColumn(
+        "toks", F.expr(Q._TOK_SPARK)
+    )
+    for expr in (
+        Q._word_ngrams_spark(5),
+        Q._word_ngrams_spark(Q._SUB_W),
+        "array_distinct(toks)",
+    ):
+        g = t.select(F.explode(F.expr(expr)).alias("g")).distinct()
+        n_str = g.count()
+        n_hash = g.select(F.xxhash64("g")).distinct().count()
+        assert n_str == n_hash, expr
 
 
 def test_query_library_is_udf_free(spark):
@@ -150,13 +166,40 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
 
 
 def test_pii_scrub_plan_has_no_shuffle(spark):
-    """The scrub pass is a pure per-row projection — any Exchange in the
-    plan means a 100-TB scrub would shuffle the whole corpus for nothing."""
+    """The scrub pass is a pure per-row projection — an Exchange (beyond
+    the r7 small-input spread, which is a no-op at production scale)
+    would mean a 100-TB scrub shuffles the whole corpus for nothing.
+    Allowed: exactly the ONE round-robin repartition `_ts` adds when the
+    fixture file is smaller than a single scan split; forbidden: any
+    hash/range exchange (a keyed shuffle has no business in a scrub)."""
     plan = (
         Q.REGISTRY["pii_scrub"][0](spark, SF_DIR)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_spread_is_noop_on_multi_split_input(spark):
+    """_ts must add its round-robin ONLY when the scan yields fewer
+    splits than cores: on an input larger than cores x maxPartitionBytes
+    the plan must be untouched (the production no-op contract the r7
+    spread rests on). A multi-GB fixture would be slow to generate, so
+    instead the split size is shrunk until the real fixture file already
+    splits into >= cores pieces."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        df = Q._ts(spark, SF_DIR, "documents")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # and on the unmodified session config the tiny fixture IS spread
+    df = Q._ts(spark, SF_DIR, "documents")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower(), plan
 
 
 def test_ivf_frozen_centroids_reproduce(spark):
