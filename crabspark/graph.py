@@ -230,20 +230,35 @@ def hits_scores(edges: DataFrame, iters: int = 2) -> DataFrame:
     ).distinct().localCheckpoint(eager=True)
 
     def _normalize(scores: DataFrame, col: str) -> DataFrame:
-        tot = scores.agg(
-            F.sum(col).alias("_tot"), F.count("*").alias("_n")
-        )
-        out = scores.crossJoin(F.broadcast(tot)).select(
-            "node",
-            (F.col(col) * F.col("_n") / F.col("_tot")).alias(col),
-        )
         # Truncate lineage EVERY half-step: the normalization references
         # its input subtree twice (values + global sum), so without a cut
         # the plan doubles per half-step — 4 half-steps already compile to
         # ~12k plan lines / 800 exchanges. Materializing one score row per
         # node per half-step is exactly the Pregel superstep contract and
         # keeps the plan linear in `iters`.
-        return out.localCheckpoint(eager=True)
+        #
+        # r7: the global sum RIDES the checkpoint materialization as an
+        # Observation metric (the same fusion the components loop got in
+        # r6) instead of being its own aggregation job + broadcast per
+        # half-step — halves the job count of the whole fixpoint. The
+        # normalization itself is applied lazily over the checkpointed
+        # raw scores (scalar literals, no crossJoin), so the next
+        # half-step's cut materializes the normalized values exactly as
+        # before.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        raw = scores.observe(
+            obs,
+            F.sum(col).alias("_tot"),
+            F.count(F.lit(1)).alias("_n"),
+        ).localCheckpoint(eager=True)
+        m = obs.get  # blocks on the checkpoint job's metrics
+        return raw.select(
+            "node",
+            (F.col(col) * F.lit(float(m["_n"])) / F.lit(float(m["_tot"])))
+            .alias(col),
+        )
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None

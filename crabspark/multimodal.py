@@ -167,10 +167,20 @@ def _png_unfilter(rows: np.ndarray, fts: np.ndarray, w: int, c: int) -> np.ndarr
 
     raws = rows.reshape(h, w, c).astype(np.int16)
     nd = h + w - 1
-    D = np.zeros((nd, h + 2, c), np.int16)
-    Draw = np.zeros((nd, h + 1, c), np.int16)
-    yy, jj = np.indices((h, w))
-    Draw[(yy + jj).ravel(), (yy + 1).ravel()] = raws.reshape(-1, c)
+    # ROLLING diagonal buffers (r7 advisor finding): the recurrence only
+    # ever reads diagonals k-1 and k-2, so exactly two (h+2, c) diagonal
+    # buffers are live at a time — the previous full (nd, h+2, c) tensor
+    # plus its raw twin was ~8-16x the decoded image (~0.5 GB for a
+    # 4000x4000 RGBA PNG) and could OOM an executor where the old
+    # per-byte loop was merely slow. Each completed diagonal scatters
+    # straight into `out`; the raw bytes of a diagonal are gathered on
+    # the fly. A 2-slot margin each side of the written range is
+    # re-zeroed every step so rotated buffers never leak stale values
+    # into the zero-boundary reads (lo/hi move by at most 1 per step).
+    Dm1 = np.zeros((h + 2, c), np.int16)
+    Dm2 = np.zeros((h + 2, c), np.int16)
+    Dk = np.zeros((h + 2, c), np.int16)
+    out = np.empty((h, w, c), np.uint8)
     is1, is2 = fts == 1, fts == 2
     is3, is4 = fts == 3, fts == 4
     any3, any4 = bool(is3.any()), bool(is4.any())
@@ -179,9 +189,10 @@ def _png_unfilter(rows: np.ndarray, fts: np.ndarray, w: int, c: int) -> np.ndarr
         lo = 0 if k < w else k - w + 1
         hi = k if k < h else h - 1
         n = hi - lo + 1
-        left = D[k - 1, lo + 1:hi + 2] if k else np.zeros((1, c), np.int16)
-        up = D[k - 1, lo:hi + 1] if k else np.zeros((1, c), np.int16)
-        ul = D[k - 2, lo:hi + 1] if k >= 2 else np.zeros((n, c), np.int16)
+        ys = np.arange(lo, hi + 1)
+        left = Dm1[lo + 1:hi + 2] if k else np.zeros((1, c), np.int16)
+        up = Dm1[lo:hi + 1] if k else np.zeros((1, c), np.int16)
+        ul = Dm2[lo:hi + 1] if k >= 2 else np.zeros((n, c), np.int16)
         pred = buf[:n]
         pred[:] = 0
         np.copyto(pred, left, where=is1[lo:hi + 1, None])
@@ -199,13 +210,13 @@ def _png_unfilter(rows: np.ndarray, fts: np.ndarray, w: int, c: int) -> np.ndarr
                     (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
                 )
                 np.copyto(pred, pt, where=m4[:, None])
+        Dk[max(lo - 1, 0):lo + 1] = 0
+        Dk[hi + 2:min(hi + 4, h + 2)] = 0
         np.bitwise_and(
-            Draw[k, lo + 1:hi + 2] + pred, 0xFF, out=D[k, lo + 1:hi + 2]
+            raws[ys, k - ys] + pred, 0xFF, out=Dk[lo + 1:hi + 2]
         )
-    out = np.empty((h, w, c), np.uint8)
-    out[yy.ravel(), jj.ravel()] = D[(yy + jj).ravel(), (yy + 1).ravel()].astype(
-        np.uint8
-    )
+        out[ys, k - ys] = Dk[lo + 1:hi + 2].astype(np.uint8)
+        Dm2, Dm1, Dk = Dm1, Dk, Dm2
     return out.reshape(h, stride)
 
 

@@ -1118,20 +1118,25 @@ def _assign_clusters(df, cents):
     HOF (zip_with/aggregate) spelling — see the module note on dot
     products: Spark 4 codegens the HOF fold, and the flat-chain variant
     of 16 centroid distances blew the 64 KB method limit (measured 3x
-    slower once the stage dropped out of codegen)."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "embedding", _vec_lit(c),
-                    lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for c in cents
-        ]
+    slower once the stage dropped out of codegen).
+
+    The centroid matrix is ONE nested array literal mapped with
+    `transform` (per-centroid arithmetic and fold order identical to
+    the earlier 16 separate expression trees): the k x dim literal
+    forest made Catalyst analysis/codegen the dominant cost of the
+    serving query — the executed stages sum to well under a second."""
+    carr = F.array(*[_vec_lit(c) for c in cents])
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(
+                "embedding", c,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
     )
     return df.withColumn(
         "cluster",
