@@ -2299,19 +2299,25 @@ def q_line_dedup(spark, sf_dir):
             )
         ).alias("idx", "line"),
     )
-    df = lines.groupBy("line").agg(F.count_distinct("doc_id").alias("ndocs"))
+    # the distinct-doc count is only ever compared against 1, and "one
+    # distinct doc" == "min(doc_id) = max(doc_id)" exactly — a plain
+    # min/max partial agg instead of an exact COUNT DISTINCT (which
+    # Spark plans as a second expand+aggregate pass over every line row)
+    df = lines.groupBy("line").agg(
+        (F.min("doc_id") == F.max("doc_id")).alias("uniq")
+    )
     return (
         lines.join(df, "line")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum((F.col("ndocs") == 1).cast("int")).alias("n_kept"),
+            F.sum(F.col("uniq").cast("int")).alias("n_kept"),
             F.md5(
                 F.coalesce(
                     F.array_join(
                         F.expr(
                             "transform(sort_array(collect_list(struct(idx, line)) "
-                            "FILTER (WHERE ndocs = 1)), s -> s.line)"
+                            "FILTER (WHERE uniq)), s -> s.line)"
                         ),
                         " ",
                     ),
@@ -3485,10 +3491,14 @@ def q_substring_dedup(spark, sf_dir):
         F.size("toks").alias("n_tokens"),
         F.posexplode(F.expr(_word_ngrams_spark(_SUB_W))).alias("pos", "g"),
     ).withColumn("gram", F.xxhash64("g")).drop("g").localCheckpoint()
+    # "appears in ANOTHER doc" is gdf > 1, and >1 distinct docs ==
+    # min(doc_id) != max(doc_id) exactly — a plain min/max partial agg
+    # instead of an exact COUNT DISTINCT (a second expand+aggregate
+    # pass over every gram row in Spark's plan)
     df = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("gdf")
+        (F.min("doc_id") != F.max("doc_id")).alias("dupgram")
     )
-    dup = grams.join(df, "gram").filter(F.col("gdf") > 1)
+    dup = grams.join(df, "gram").filter(F.col("dupgram"))
     w_order = Window.partitionBy("doc_id").orderBy("pos")
     w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
     islands = (
