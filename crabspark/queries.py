@@ -805,10 +805,14 @@ def q_simhash(spark, sf_dir):
     ).withColumn("h", F.md5("tok"))
     bits = []
     for j in range(8):
+        # "hex digit >= 8" == "ascii of the digit char >= 56": '0'-'7'
+        # are 48-55, '8'/'9' are 56/57, 'a'-'f' are 97-102 — one byte
+        # compare instead of the general base-converter `conv` per digit
         digit = F.substring(F.col("h"), j + 1, 1)
-        val = F.conv(digit, 16, 10).cast("int")
         bits.append(
-            F.sum(F.when(val >= 8, 1).otherwise(-1)).alias(f"s{j}")
+            F.sum(
+                F.when(F.ascii(digit) >= 56, 1).otherwise(-1)
+            ).alias(f"s{j}")
         )
     agg = d.groupBy("doc_id").agg(*bits)
     sim = None
@@ -867,13 +871,13 @@ def q_simhash_neardup_pairs(spark, sf_dir):
         .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh"))
         .withColumn("h", F.md5("sh"))
     )
+    # "hex digit >= 8" as a one-byte ascii compare (see q_simhash) —
+    # 32 digit decodes per shingle row made `conv` a measurable cost
     sums = d.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
-                    >= 8,
-                    1,
+                    F.ascii(F.substring("h", j + 1, 1)) >= 56, 1
                 ).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(32)
@@ -1957,11 +1961,18 @@ def q_decontaminate(spark, sf_dir):
     join — no shuffle of the big side at all; the only shuffle is the
     per-doc count aggregation, map-side combinable. Joining on the raw
     gram string (not a hash) is deliberate: with a broadcast join there is
-    no shuffle width to save, and exactness costs nothing."""
+    no shuffle width to save, and exactness costs nothing.
+
+    r7: grams ship as xxhash64 int64 keys — every use is identity-only
+    (distinct / membership / overlap count), which the hash preserves
+    (injectivity pinned corpus-wide per gram width by
+    test_hashed_verify_matches_exact), and the (doc_id, gram) distinct
+    exchange then carries 8-byte longs instead of ~50-byte 8-gram
+    strings; the broadcast bench set shrinks the same way."""
     d = _ts(spark, sf_dir, "documents").withColumn("toks", F.expr(_TOK_SPARK))
     grams = d.select(
-        "doc_id", F.explode(F.expr(_word_ngrams_spark(8))).alias("gram")
-    ).distinct()
+        "doc_id", F.explode(F.expr(_word_ngrams_spark(8))).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("gram")).distinct()
     bench = (
         grams.where(F.col("doc_id") % 50 == 17)
         .select("gram")

@@ -119,6 +119,7 @@ def test_hashed_verify_matches_exact(spark):
     )
     for expr in (
         Q._word_ngrams_spark(5),
+        Q._word_ngrams_spark(8),
         Q._word_ngrams_spark(Q._SUB_W),
         "array_distinct(toks)",
     ):
