@@ -679,13 +679,17 @@ def connected_components(pairs, max_iter: int = 64):
     # cut the PAIR pipeline before mirroring it: the union references
     # `pairs` twice, and for every caller the pair producer is the
     # expensive part (an LSH candidate+verify pipeline) — without this
-    # cut it executes twice just to build the edge list
+    # cut it executes twice just to build the edge list. The mirrored
+    # edge view itself stays LAZY: deriving a union of two projections
+    # from the checkpointed pairs is a zero-shuffle narrow op per
+    # iteration, cheaper than the extra materialization job a second
+    # checkpoint would cost.
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).localCheckpoint()  # the loop re-reads edges every iteration
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
